@@ -1,0 +1,77 @@
+"""Hyperparameter bundles.
+
+TPU-native counterpart of the reference's ``hyperparams!`` process-global
+singletons (ref: crates/pokerkit/src/macros.rs:16-33 and the per-crate
+``hyperparams/*.rs`` files). We use frozen dataclasses passed explicitly
+into solver constructors instead of process globals: jit-compiled programs
+close over them as static values, so "set once at startup" becomes "bake
+into the compiled step".
+
+Defaults are value-identical to the reference:
+- sampling   ref: crates/mccfr/src/hyperparams/sampling.rs:40-50
+- training   ref: crates/mccfr/src/hyperparams/training.rs:50-59
+- pruning    ref: crates/mccfr/src/hyperparams/pruning.rs:37-60
+- warmstart  ref: crates/mccfr/src/hyperparams/warmstart.rs:24-31
+- kmeans     ref: crates/lloyd/src/hyperparams/kmeans.rs:17-24
+- sinkhorn   ref: crates/lloyd/src/hyperparams/sinkhorn.rs:17-24
+- subgame    ref: crates/subgame/src/hyperparams.rs:10-56
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingHyperParams:
+    """External-sampling exploration distribution knobs.
+
+    Sampling weight per edge: ``max(curiosity, (w/temperature + smoothing)
+    / (sum_w + smoothing))`` normalized over the infoset.
+    """
+
+    temperature: float = 1.0   # T — higher → more uniform
+    smoothing: float = 2.0     # β — pseudocount toward uniform
+    curiosity: float = 0.05    # ε — minimum sampling probability floor
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainingHyperParams:
+    log_interval_s: float = 60.0
+    flush_interval_s: float = 30.0 * 60.0
+    mc_exploitability_samples: int = 1024
+    regret_min: float = -4e6   # cumulative-regret floor (allows recovery)
+
+
+@dataclasses.dataclass(frozen=True)
+class PruningHyperParams:
+    threshold: float = -3e5    # prune actions with cum regret below this
+    explore: float = 0.05      # probability of exploring all branches anyway
+    warmup: int = 16_384       # epochs before pruning begins
+
+
+@dataclasses.dataclass(frozen=True)
+class WarmstartHyperParams:
+    prior_strength: int = 2 ** 14  # effective LinearWeight iterations K
+
+
+@dataclasses.dataclass(frozen=True)
+class KmeansHyperParams:
+    iterations: int = 32       # Elkan iterations per street
+    drift_threshold: float = 1e-4
+    rms_interval: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class SinkhornHyperParams:
+    temperature: float = 0.025  # entropic regularization ε
+    iterations: int = 128       # max potential-update sweeps
+    tolerance: float = 5e-4     # L1-delta stopping criterion
+
+
+@dataclasses.dataclass(frozen=True)
+class SubgameHyperParams:
+    decision_budget_ms: int = 5_000    # real-time re-solve wall-clock budget
+    visit_threshold: int = 2 ** 18     # blend gate: subgame vs blueprint
+    rollout_bias: float = 5.0          # continuation bias multiplier
+    rollouts: int = 16                 # MC rollouts per frontier payoff cell
