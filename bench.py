@@ -1,0 +1,59 @@
+"""Benchmark: NLHE MCCFR training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: walker decisions per second sustained by the flagship blueprint
+training step (LinearRegret + LinearWeight + PluribusSampling, batch=128
+trees/epoch — the reference's production config, ref:
+crates/nlhe/src/solver.rs:11). A "decision" = one walker decision node
+receiving a full regret/strategy update — the same unit as the
+reference's published "~309 decisions/sec sustained" dashboard figure
+(BASELINE.md / README training caption).
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from robopoker_tpu.mccfr import LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING
+    from robopoker_tpu.nlhe import TrainerConfig, init_table, make_nlhe_step, proxy_bucket
+
+    cfg = TrainerConfig(
+        batch=128, level_cap=192, cap=1536, max_levels=8,
+        roll_steps=5, tail_steps=16, table_log2=20,
+    )
+    table = init_table(cfg.table_log2)
+    step = make_nlhe_step(
+        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING, cfg
+    )
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    table, metrics = step(table, key)
+    jax.block_until_ready(table)
+
+    n_steps = 20
+    t0 = time.monotonic()
+    nodes = 0
+    for _ in range(n_steps):
+        table, metrics = step(table, key)
+        nodes += int(metrics["nodes"])
+    jax.block_until_ready(table)
+    dt = time.monotonic() - t0
+
+    decisions_per_s = nodes / dt
+    baseline = 309.0  # reference sustained decisions/s (BASELINE.md)
+    print(json.dumps({
+        "metric": "mccfr_walker_decisions_per_s",
+        "value": round(decisions_per_s, 1),
+        "unit": "decisions/s",
+        "vs_baseline": round(decisions_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

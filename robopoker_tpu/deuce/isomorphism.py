@@ -1,0 +1,106 @@
+"""Suit-isomorphism canonicalization.
+
+TPU-native counterpart of the reference's ``Permutation``/``Isomorphism``
+(ref: crates/deuce/src/permutation.rs:17-89, isomorphism.rs:23-66). The
+reference canonicalizes by sorting per-suit (pocket, board) profiles
+co-lexicographically and relabeling suits; we compute, fully vectorized,
+the **minimum packed encoding over all 24 suit permutations** — a
+different but equally valid canonical representative (canonical forms
+are unique per equivalence class either way; cluster artifacts are
+identical up to suit relabeling, which carries no strategic content).
+
+The canonical encoding doubles as the 64-bit key for device hash tables
+(iso → bucket lookups), so exact per-class identity is what matters:
+observations are suit-isomorphic **iff** their canonical keys are equal.
+
+Counts oracle: 169 / 1,286,792 / 13,960,050 / 123,156,254 canonical
+classes per street (ref: crates/deuce/src/street.rs:118-146).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# all 24 suit relabelings
+PERMS = np.array(list(itertools.permutations(range(4))), dtype=np.int32)  # [24, 4]
+
+INT32_MAX = jnp.int32(0x7FFFFFFF)
+
+
+def canonical_key(pocket: jnp.ndarray, board: jnp.ndarray) -> jnp.ndarray:
+    """Canonical identity words for observations.
+
+    pocket: [..., 2] cards; board: [..., K≤5] cards (-1 pad).
+    Returns int32 [..., 4]: per suit a 26-bit word ``pocket_mask << 13 |
+    board_mask``, suit-sorted, minimized lexicographically over the 24
+    suit permutations. Equal arrays ⇔ suit-isomorphic observations.
+    """
+    from .cards import suit_masks
+
+    pm = suit_masks(pocket)   # [..., 4]
+    bm = suit_masks(board)    # [..., 4]
+    perms = jnp.asarray(PERMS)  # [24, 4]
+
+    # words under each suit relabeling, sorted within each permutation
+    pm24 = pm[..., None, :].take(perms, axis=-1)[..., 0, :, :]  # [..., 24, 4]
+    bm24 = bm[..., None, :].take(perms, axis=-1)[..., 0, :, :]
+    words = jnp.sort((pm24 << 13) | bm24, axis=-1)              # [..., 24, 4]
+
+    # lexicographic min over the 24 permutations (stage from the largest
+    # word down — sorted ascending, so index 3 is the most significant)
+    remaining = jnp.ones(words.shape[:-1], bool)                # [..., 24]
+    for i in (3, 2, 1, 0):
+        w = words[..., i]
+        m = jnp.where(remaining, w, INT32_MAX).min(axis=-1, keepdims=True)
+        remaining = remaining & (w == m)
+    idx = jnp.argmax(remaining, axis=-1)
+    return jnp.take_along_axis(
+        words, idx[..., None, None].astype(jnp.int32), axis=-2
+    )[..., 0, :]
+
+
+def canonical_key_np(pocket: np.ndarray, board: np.ndarray) -> np.ndarray:
+    """Host-side mirror of canonical_key for test oracles."""
+    from .cards import suit_masks_np
+
+    out = []
+    pocket = np.atleast_2d(pocket)
+    board = np.atleast_2d(board)
+    for p, b in zip(pocket, board):
+        best = None
+        for perm in itertools.permutations(range(4)):
+            pm = suit_masks_np(p[None, :])[0]
+            bm = suit_masks_np(b[None, :])[0]
+            words = tuple(sorted(
+                (int(pm[perm[s]]) << 13) | int(bm[perm[s]]) for s in range(4)
+            ))
+            if best is None or words < best:
+                best = words
+        out.append(best)
+    return np.array(out, dtype=np.int32)
+
+
+def hash_key(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Canonical words [..., 4] → two 32-bit hash words (for hash tables)."""
+
+    def _i32(c):
+        return jnp.int32(c - (1 << 32) if c >= (1 << 31) else c)
+
+    a = words[..., 0] * _i32(0x9E3779B1) + words[..., 1]
+    b = words[..., 2] * _i32(0x85EBCA6B) + words[..., 3]
+
+    def fmix(x):
+        x = x ^ (jnp.right_shift(x.astype(jnp.uint32), 16)).astype(jnp.int32)
+        x = x * _i32(0x85EBCA6B)
+        x = x ^ (jnp.right_shift(x.astype(jnp.uint32), 13)).astype(jnp.int32)
+        x = x * _i32(0xC2B2AE35)
+        x = x ^ (jnp.right_shift(x.astype(jnp.uint32), 16)).astype(jnp.int32)
+        return x
+
+    h1 = fmix(a ^ fmix(b))
+    h2 = fmix(b + h1)
+    return h1, h2

@@ -321,14 +321,13 @@ def deal_board(s: TableState, key: jnp.ndarray,
         active = jnp.ones(b, bool)
     active = active & (turn_of(s) == TURN_CHANCE)
 
-    used = jnp.zeros((b, 52), bool)
+    # mark used cards; undealt board slots (-1) scatter into a spill lane
+    used53 = jnp.zeros((b, 53), bool)
     hole_flat = s.hole.reshape(b, 4).astype(jnp.int32)
-    used = used.at[jnp.arange(b)[:, None], hole_flat].set(True)
-    bidx = jnp.maximum(s.board.astype(jnp.int32), 0)
-    used = used | (
-        jnp.zeros((b, 52), bool).at[jnp.arange(b)[:, None], bidx]
-        .set(s.board >= 0)
-    )
+    used53 = used53.at[jnp.arange(b)[:, None], hole_flat].set(True)
+    bidx = jnp.where(s.board >= 0, s.board.astype(jnp.int32), 52)
+    used53 = used53.at[jnp.arange(b)[:, None], bidx].set(True)
+    used = used53[:, :52]
     u = jax.random.uniform(key, (b, 52))
     u = jnp.where(used, jnp.inf, u)
     order = jnp.argsort(u, axis=1).astype(jnp.int8)  # fresh cards first
@@ -369,8 +368,6 @@ def settle(s: TableState) -> jnp.ndarray:
     """
     folded = s.status == FOLDING
     any_fold = folded.any(axis=1)
-    fold_winner = jnp.argmin(folded.astype(jnp.int32) * 2 - 1, axis=1)
-    # ^ index of the non-folded seat (status FOLDING → +1, else -1)
     fold_winner = jnp.argmax((~folded).astype(jnp.int32), axis=1)
 
     cards = jnp.concatenate(

@@ -1,0 +1,501 @@
+"""Batched external-sampling MCCFR for NLHE — the flagship training step.
+
+TPU-native counterpart of the reference's ``Flagship =
+Nlhe<LinearRegret, LinearWeight, PluribusSampling>`` solver loop
+(ref: crates/nlhe/src/solver.rs:11, crates/mccfr/src/solver/solver.rs:96-
+300, forge/src/fast.rs). The reference grows 128 pointer trees per epoch
+on rayon threads; here the whole batch is **one jit-compiled program**:
+
+1. **Walker-node tree, not game tree.** Chance deals and opponent
+   decisions never materialize as nodes — they are applied *in place*
+   during a bounded "roll" between walker decisions, accumulating the
+   external-sampling importance ratio π/q (the reference's fused
+   ancestor_reach/recursed_value weighting, flow.rs:128-220). Only
+   walker decision points occupy slots, so a tree of thousands of game
+   states compresses to tens of slots.
+2. **Level-synchronous expansion** with static capacities: each level
+   expands every live walker slot into ≤9 children (one masked
+   `apply_cols` pass per action column), rolls each child to the next
+   walker decision or terminal, and allocates slots by per-tree
+   prefix-sum. Over-capacity branches are dropped and counted.
+3. **Tail sampling**: lines still alive at the last level switch to
+   on-policy sampling of the walker's own action (unbiased value
+   estimate, no regret updates below) instead of truncating to 0.
+4. **Fused scatter updates**: per-slot regret/weight/payoff/visit deltas
+   segment-sum into the HBM InfoTable; schedules apply once per epoch
+   over touched rows.
+
+Documented batch-semantics deviations from the reference (convergence-
+equivalent, SURVEY §2.5 P1): update vectors aggregate across the batch
+before one schedule application instead of 128 sequential applications;
+weight/visits count per-slot occurrences rather than per-tree-deduped
+infoset occupancy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kicker import edges as E
+from ..kicker import game as G
+from ..mccfr.sampling import PLURIBUS, SamplingConfig
+from ..mccfr.schedules import RegretSchedule, WeightSchedule
+from ..pokerkit.constants import EPSILON
+from ..pokerkit.hyperparams import SamplingHyperParams, TrainingHyperParams
+from .table import InfoTable, N_COLS, make_key, slot_of
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    batch: int = 128           # trees per epoch (ref: nlhe batch=128)
+    level_cap: int = 128       # walker nodes per level per tree
+    cap: int = 1024            # walker-node slots per tree
+    max_levels: int = 8        # walker decisions along a line before tail
+    roll_steps: int = 6        # opp/chance steps between walker decisions
+    tail_steps: int = 24       # on-policy sampled steps for deep lines
+    table_log2: int = 20
+
+
+def regret_matching_rows(regret, legal):
+    r = jnp.where(legal, jnp.maximum(regret, EPSILON), 0.0)
+    return jnp.where(legal, r / r.sum(axis=-1, keepdims=True), 0.0)
+
+
+def exploration_rows(weight, legal, hp: SamplingHyperParams):
+    w = jnp.where(legal, jnp.maximum(weight, EPSILON), 0.0)
+    denom = w.sum(axis=-1, keepdims=True) + hp.smoothing
+    sw = jnp.maximum((w / hp.temperature + hp.smoothing) / denom, hp.curiosity)
+    sw = jnp.where(legal, sw, 0.0)
+    return sw / sw.sum(axis=-1, keepdims=True)
+
+
+def make_nlhe_step(
+    bucket_fn: Callable,
+    regret_schedule: RegretSchedule,
+    weight_schedule: WeightSchedule,
+    sampling: SamplingConfig,
+    config: TrainerConfig = TrainerConfig(),
+    sampling_hp: SamplingHyperParams = SamplingHyperParams(),
+    training_hp: TrainingHyperParams = TrainingHyperParams(),
+    menu: np.ndarray | None = None,
+    axis_name: str | None = None,
+):
+    """Build the jitted NLHE MCCFR epoch step.
+
+    Returns ``step(table, key) -> (table, metrics)``. With ``axis_name``
+    set, the step is meant to run inside ``shard_map`` over that mesh
+    axis: ``config.batch`` trees per device, delta tables psum'd over ICI
+    before the (replicated) schedule application — every device applies
+    the identical update, so the table stays consistent without a
+    parameter server (SURVEY §2.5 P3, §5.8).
+    """
+    from ..kicker.edges import MENU_PLURIBUS
+
+    MENU = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
+    C = config
+    N = C.batch * C.level_cap  # flattened level width
+
+    def lookup(states):
+        """Infoset identity for the ACTING player of each state."""
+        b = states.pot.shape[0]
+        idx = G.actor_idx(states)
+        hole = jnp.take_along_axis(
+            states.hole, idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        board = states.board
+        bucket = bucket_fn(hole.astype(jnp.int32),
+                           board.astype(jnp.int32), states.street)
+        legal = G.legal_cols(states, MENU)
+        cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
+        sub = G.packed_subgame(states)
+        klo, khi = make_key(bucket, sub, cmask)
+        return klo, khi, legal
+
+    def roll(states, table, walker, key, include_walker=False, steps=None):
+        """Advance through opponent/chance (and optionally sampled walker)
+        moves in place; returns (states, ratio) with the ∏ π/q correction
+        for opponent steps (walker/chance contribute 1)."""
+
+        def body(i, carry):
+            states, ratio = carry
+            k_i = jax.random.fold_in(key, i)
+            states = G.deal_board(states, k_i)
+            t = G.turn_of(states)
+            is_opp = (t <= 1) & (t != walker)
+            is_act = is_opp | (include_walker & (t == walker))
+            klo, khi, legal = lookup(states)
+            row = slot_of(klo, khi, table.capacity)
+            q = exploration_rows(table.weight[row], legal, sampling_hp)
+            pi = regret_matching_rows(table.regret[row], legal)
+            dist = jnp.where(is_opp[:, None], q, pi)
+            logits = jnp.where(legal, jnp.log(jnp.maximum(dist, EPSILON)), -jnp.inf)
+            kk = jax.random.fold_in(k_i, 7)
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                kk, jnp.arange(states.pot.shape[0])
+            )
+            col = jax.vmap(jax.random.categorical)(keys, logits)
+            picked_pi = jnp.take_along_axis(pi, col[:, None], axis=1)[:, 0]
+            picked_q = jnp.take_along_axis(q, col[:, None], axis=1)[:, 0]
+            ratio = ratio * jnp.where(
+                is_opp, picked_pi / jnp.maximum(picked_q, EPSILON), 1.0
+            )
+            states = G.apply_cols(states, col, MENU, is_act)
+            return states, ratio
+
+        ratio0 = jnp.ones(states.pot.shape[0], jnp.float32)
+        n = C.roll_steps if steps is None else steps
+        states, ratio = jax.lax.fori_loop(0, n, body, (states, ratio0))
+        # a trailing deal in case the last action closed a street
+        states = G.deal_board(states, jax.random.fold_in(key, 99))
+        return states, ratio
+
+    def child_terminal_cols(states):
+        """Analytic immediate-terminality of each action column (HU):
+        fold always ends the hand; river call ends; river check ends when
+        it is not the street's first action."""
+        river = states.street == G.RIVER
+        closes_check = river & (states.ticker >= 2)
+        cols = jnp.zeros((states.pot.shape[0], N_COLS), bool)
+        cols = cols.at[:, E.COL_FOLD].set(True)
+        cols = cols.at[:, E.COL_CALL].set(river)
+        cols = cols.at[:, E.COL_CHECK].set(closes_check)
+        return cols
+
+    def flat(states):
+        return jax.tree.map(
+            lambda a: a.reshape((N,) + a.shape[2:]) if a.ndim >= 2 else a, states
+        )
+
+    def step(table: InfoTable, key: jnp.ndarray):
+        t = table.epoch
+        walker = (t % 2).astype(jnp.int32)
+        ekey = jax.random.fold_in(key, t)
+
+        B, CAP, LC = C.batch, C.cap, C.level_cap
+
+        # --- global slot metadata ----------------------------------------
+        parent = jnp.zeros((B, CAP), jnp.int32)
+        pcol = jnp.zeros((B, CAP), jnp.int32)
+        ratio_in = jnp.zeros((B, CAP), jnp.float32)
+        reach = jnp.zeros((B, CAP), jnp.float32)
+        is_term = jnp.zeros((B, CAP), bool)
+        term_value = jnp.zeros((B, CAP), jnp.float32)
+        row_of = jnp.zeros((B, CAP), jnp.int32)
+        klo_of = jnp.zeros((B, CAP), jnp.int32)
+        khi_of = jnp.zeros((B, CAP), jnp.int32)
+        legal_of = jnp.zeros((B, CAP, N_COLS), bool)
+        branch_of = jnp.zeros((B, CAP, N_COLS), bool)
+        level_of = jnp.full((B, CAP), -1, jnp.int32)
+        valid = jnp.zeros((B, CAP), bool)
+        n_slots = jnp.zeros(B, jnp.int32)
+        dropped = jnp.zeros((), jnp.int32)
+
+        # --- root: one state per tree, rolled to the first walker node ---
+        roots = G.root(jax.random.fold_in(ekey, 900001), B)
+        roots, r0 = roll(roots, table, walker, jax.random.fold_in(ekey, 900002))
+
+        # seed slot 0
+        t0 = G.turn_of(roots)
+        term0 = t0 == G.TURN_TERMINAL
+        pnl0 = G.settle(roots)
+        v0 = pnl0[:, walker]
+        parent = parent.at[:, 0].set(-1)
+        ratio_in = ratio_in.at[:, 0].set(r0)
+        reach = reach.at[:, 0].set(r0)
+        is_term = is_term.at[:, 0].set(term0)
+        term_value = term_value.at[:, 0].set(v0)
+        level_of = level_of.at[:, 0].set(0)
+        valid = valid.at[:, 0].set(True)
+        n_slots = n_slots + 1
+
+        # pad level buffer to LEVEL_CAP states per tree
+        def widen(states1):
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    a[:, None] if a.ndim == 1 else a[:, None, ...],
+                    (B, LC) + a.shape[1:],
+                ).reshape((N,) + a.shape[1:]),
+                states1,
+            )
+
+        level_states = widen(roots)  # only position 0 per tree is live
+        level_valid = jnp.zeros((B, LC), bool).at[:, 0].set(~term0)
+        level_slot = jnp.zeros((B, LC), jnp.int32)
+
+        rows_b = jnp.arange(B)[:, None]
+
+        def level_body(lvl, lcarry):
+            (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+             valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
+             dropped, level_states, level_valid, level_slot) = lcarry
+            lkey = jax.random.fold_in(ekey, 100 + lvl)
+            # infoset + policy of live level nodes
+            klo, khi, legal = lookup(level_states)
+            row = slot_of(klo, khi, table.capacity)
+            regret_rows = table.regret[row]
+            pi = regret_matching_rows(regret_rows, legal)
+
+            legal2 = legal.reshape(B, LC, N_COLS)
+            row2 = row.reshape(B, LC)
+
+            # pluribus pruning mask over walker branches
+            if sampling.prunes:
+                ct = child_terminal_cols(level_states).reshape(B, LC, N_COLS)
+                keep = legal2 & (
+                    ct | (regret_rows.reshape(B, LC, N_COLS) > sampling.threshold)
+                )
+                keep = jnp.where(keep.any(-1, keepdims=True), keep, legal2)
+                if sampling.scheme == PLURIBUS:
+                    eu = jax.random.uniform(jax.random.fold_in(lkey, 5), (B, LC))
+                    no_prune = (t < sampling.warmup) | (eu < sampling.explore)
+                    branch = jnp.where(no_prune[:, :, None], legal2, keep)
+                else:
+                    branch = keep
+            else:
+                branch = legal2
+            branch = branch & level_valid[:, :, None]
+
+            # allocate child slots by per-tree prefix sum
+            bmask = branch.reshape(B, LC * N_COLS)
+            prefix = jnp.cumsum(bmask, axis=1) - 1
+            child_slot = n_slots[:, None] + prefix          # [B, LC*9]
+            child_lpos = prefix                              # position in next level
+            ok = bmask & (child_slot < CAP) & (child_lpos < LC)
+            dropped = dropped + (bmask & ~ok).sum()
+            n_slots = jnp.minimum(n_slots + bmask.sum(axis=1), CAP)
+
+            # write meta for this level's slots (spill lane for invalid);
+            # realized branches only — over-capacity drops must not enter
+            # the regret vector as zero-valued edges
+            sl = jnp.where(level_valid, level_slot, CAP)
+            ok3 = ok.reshape(B, LC, N_COLS)
+            row_of = _scat(row_of, sl, row2)
+            klo_of = _scat(klo_of, sl, klo.reshape(B, LC))
+            khi_of = _scat(khi_of, sl, khi.reshape(B, LC))
+            legal_of = _scat(legal_of, sl, legal2)
+            branch_of = _scat(branch_of, sl, ok3)
+
+            parent_reach = reach[rows_b, jnp.minimum(sl, CAP - 1)]  # [B, LC]
+            ok3 = ok.reshape(B, LC, N_COLS)
+            cs3 = child_slot.reshape(B, LC, N_COLS)
+            cl3 = child_lpos.reshape(B, LC, N_COLS)
+
+            def expand_col(col, carry):
+                (parent, pcol, ratio_in, reach, is_term, term_value,
+                 level_of, valid, next_states, next_valid, next_slot) = carry
+                m = jnp.take(ok3, col, axis=2)
+                cs = jnp.take(cs3, col, axis=2)
+                cl = jnp.take(cl3, col, axis=2)
+                st = G.apply_cols(
+                    level_states, jnp.full(N, col, jnp.int32), MENU, m.reshape(N)
+                )
+                st, rr = roll(st, table, walker, jax.random.fold_in(lkey, 10 + col))
+                rr = rr.reshape(B, LC)
+                term = (G.turn_of(st) == G.TURN_TERMINAL).reshape(B, LC)
+                vv = G.settle(st)[:, walker].reshape(B, LC)
+
+                csc = jnp.where(m, cs, CAP)  # CAP = spill row (ignored)
+                colf = jnp.full((B, LC), 0, jnp.int32) + col
+                parent = _scat(parent, csc, sl)
+                pcol = _scat(pcol, csc, colf)
+                ratio_in = _scat(ratio_in, csc, rr)
+                reach = _scat(reach, csc, parent_reach * rr)
+                is_term = _scat(is_term, csc, term)
+                term_value = _scat(term_value, csc, vv)
+                level_of = _scat(level_of, csc, jnp.full((B, LC), lvl + 1, jnp.int32))
+                valid = _scat(valid, csc, jnp.ones((B, LC), bool))
+
+                clc = jnp.where(m & ~term, cl, LC)
+                next_states = _scat_state(next_states, clc, st, B, LC)
+                next_valid = _scat(next_valid, clc, jnp.ones((B, LC), bool))
+                next_slot = _scat(next_slot, clc, cs)
+                return (parent, pcol, ratio_in, reach, is_term, term_value,
+                        level_of, valid, next_states, next_valid, next_slot)
+
+            carry = (parent, pcol, ratio_in, reach, is_term, term_value,
+                     level_of, valid, level_states,
+                     jnp.zeros((B, LC), bool), jnp.zeros((B, LC), jnp.int32))
+            (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+             valid, level_states, level_valid, level_slot) = jax.lax.fori_loop(
+                0, N_COLS, expand_col, carry
+            )
+            return (parent, pcol, ratio_in, reach, is_term, term_value,
+                    level_of, valid, row_of, klo_of, khi_of, legal_of,
+                    branch_of, n_slots, dropped, level_states, level_valid,
+                    level_slot)
+
+        (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+         valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
+         dropped, level_states, level_valid, level_slot) = jax.lax.fori_loop(
+            0, C.max_levels, level_body,
+            (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+             valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
+             dropped, level_states, level_valid, level_slot),
+        )
+
+        # --- tail: deep lines become on-policy sampled values -------------
+        tail_alive = level_valid  # [B, LC] lines that never terminated
+        st, _ = roll(
+            level_states, table, walker, jax.random.fold_in(ekey, 999),
+            include_walker=True, steps=C.tail_steps,
+        )
+        ttail = G.turn_of(st).reshape(B, LC)
+        pnl = G.settle(st)
+        vtail = pnl[:, walker].reshape(B, LC)
+        unfinished = tail_alive & (ttail != G.TURN_TERMINAL)
+        vtail = jnp.where(unfinished, 0.0, vtail)
+        sl = jnp.where(tail_alive, level_slot, CAP)
+        is_term = _scat(is_term, sl, jnp.ones((B, LC), bool))
+        term_value = _scat(term_value, sl, vtail)
+
+        # --- upward value pass -------------------------------------------
+        v = jnp.where(is_term, term_value, 0.0)  # [B, CAP]
+        edge_val = jnp.zeros((B, CAP, N_COLS), jnp.float32)
+        pi_all = regret_matching_rows(table.regret[row_of], legal_of)
+
+        def up_body(i, ucarry):
+            v, edge_val = ucarry
+            lvl = C.max_levels - i
+            at = valid & (level_of == lvl)
+            # non-terminal slots at this level: fold edge_vals into v
+            vv = (branch_of * pi_all * edge_val).sum(-1)
+            v = jnp.where(at & ~is_term, vv, v)
+            # push values into parents' edge slots (spill-drop OOB)
+            p = jnp.where(at, parent, CAP)
+            contrib = jnp.where(at, ratio_in * v, 0.0)
+            edge_val = edge_val.at[rows_b, p, pcol].add(contrib, mode="drop")
+            return v, edge_val
+
+        v, edge_val = jax.lax.fori_loop(
+            0, C.max_levels, up_body, (v, edge_val)
+        )
+        # level-0 root value
+        v0v = (branch_of * pi_all * edge_val).sum(-1)
+        v = jnp.where(valid & (level_of == 0) & ~is_term, v0v, v)
+
+        # --- per-slot deltas → table scatter ------------------------------
+        upd = valid & ~is_term
+        rdelta_slot = jnp.where(
+            upd[:, :, None] & branch_of,
+            reach[:, :, None] * (edge_val - v[:, :, None]),
+            0.0,
+        )
+        pdelta_slot = jnp.where(upd, reach * v, 0.0)
+
+        T = table.capacity
+        rows_flat = jnp.where(upd, row_of, T).reshape(-1)
+        rdelta = jnp.zeros((T + 1, N_COLS), jnp.float32).at[rows_flat].add(
+            rdelta_slot.reshape(-1, N_COLS)
+        )[:T]
+        touched = jnp.zeros((T + 1, N_COLS), bool).at[rows_flat].max(
+            (upd[:, :, None] & branch_of).reshape(-1, N_COLS)
+        )[:T]
+        occ = jnp.zeros(T + 1, bool).at[rows_flat].max(
+            upd.reshape(-1)
+        )[:T]
+        legal_tab = jnp.zeros((T + 1, N_COLS), bool).at[rows_flat].max(
+            (upd[:, :, None] & legal_of).reshape(-1, N_COLS)
+        )[:T]
+        pdelta = jnp.zeros(T + 1, jnp.float32).at[rows_flat].add(
+            pdelta_slot.reshape(-1)
+        )[:T]
+        counts = jnp.zeros(T + 1, jnp.int32).at[rows_flat].add(
+            upd.reshape(-1).astype(jnp.int32)
+        )[:T]
+
+        # --- multi-chip: all-reduce the per-shard deltas over ICI ----------
+        # (SURVEY §2.5 P3: the reference's Postgres parameter server becomes
+        # a psum of regret deltas into the replicated learner table)
+        if axis_name is not None:
+            rdelta = jax.lax.psum(rdelta, axis_name)
+            pdelta = jax.lax.psum(pdelta, axis_name)
+            counts = jax.lax.psum(counts, axis_name)
+            touched = jax.lax.psum(touched.astype(jnp.int32), axis_name) > 0
+            occ = jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0
+            legal_tab = jax.lax.psum(legal_tab.astype(jnp.int32), axis_name) > 0
+
+        # --- apply schedules ----------------------------------------------
+        pi_tab = regret_matching_rows(table.regret, legal_tab)
+        regret = jnp.where(
+            touched,
+            regret_schedule.gain(table.regret, rdelta, t, training_hp.regret_min),
+            table.regret,
+        )
+        occ_edge = occ[:, None] & legal_tab
+        weight = jnp.where(
+            occ_edge,
+            weight_schedule.learn(
+                table.weight, pi_tab * counts[:, None].astype(jnp.float32), t
+            ),
+            table.weight,
+        )
+        payoff = jnp.where(
+            occ_edge,
+            table.payoff
+            + (pdelta[:, None] / jnp.maximum(counts, 1)[:, None] - table.payoff)
+            / (table.visits + 1)[:, None].astype(jnp.float32),
+            table.payoff,
+        )
+        visits = table.visits + jnp.where(occ, counts, 0)
+
+        # record keys for collision auditing (last-writer wins)
+        key_lo = jnp.zeros(T + 1, jnp.int32).at[rows_flat].max(
+            jnp.where(upd, klo_of, jnp.int32(-(1 << 31))).reshape(-1)
+        )[:T]
+        key_hi = jnp.zeros(T + 1, jnp.int32).at[rows_flat].max(
+            jnp.where(upd, khi_of, jnp.int32(-(1 << 31))).reshape(-1)
+        )[:T]
+        key_lo = jnp.where(occ, key_lo, table.key_lo)
+        key_hi = jnp.where(occ, key_hi, table.key_hi)
+
+        new_table = InfoTable(
+            regret=regret, weight=weight, payoff=payoff, visits=visits,
+            key_lo=key_lo, key_hi=key_hi, epoch=t + 1,
+        )
+        metrics = {
+            "nodes": valid.sum(),
+            "terminal_frac": (valid & is_term).sum() / jnp.maximum(valid.sum(), 1),
+            "dropped": dropped,
+            "unfinished_tail": unfinished.sum(),
+            "touched_rows": occ.sum(),
+        }
+        if axis_name is not None:
+            metrics = {
+                k: (jax.lax.psum(v, axis_name) if k != "touched_rows" else v)
+                for k, v in metrics.items()
+            }
+        return new_table, metrics
+
+    # under shard_map the caller owns jit; single-chip gets jitted directly
+    return step if axis_name is not None else jax.jit(step)
+
+
+def _scat(arr, idx, val):
+    """Per-tree scatter: arr [B, CAP(+1 spill)...], idx [B, LC] (CAP=drop)."""
+    B, cap = arr.shape[0], arr.shape[1]
+    widened = jnp.concatenate(
+        [arr, jnp.zeros((B, 1) + arr.shape[2:], arr.dtype)], axis=1
+    )
+    out = widened.at[jnp.arange(B)[:, None], idx].set(val)
+    return out[:, :cap]
+
+
+def _scat_state(states, idx, new_states, B, LC):
+    """Scatter full TableStates from level-flat [B*LC] into [B*LC] slots."""
+
+    def one(a_old, a_new):
+        a_old = a_old.reshape((B, LC) + a_old.shape[1:])
+        a_new = a_new.reshape((B, LC) + a_new.shape[1:])
+        widened = jnp.concatenate(
+            [a_old, jnp.zeros((B, 1) + a_old.shape[2:], a_old.dtype)], axis=1
+        )
+        out = widened.at[jnp.arange(B)[:, None], idx].set(a_new)
+        return out[:, :LC].reshape((B * LC,) + a_old.shape[2:])
+
+    return jax.tree.map(one, states, new_states)

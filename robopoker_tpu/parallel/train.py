@@ -1,0 +1,74 @@
+"""Multi-chip / multi-host training step.
+
+TPU-native counterpart of the reference's distributed "Slow mode" — N
+async workers sharing PostgreSQL as a parameter server with last-write-
+wins UPSERTs (ref: crates/forge/src/workers/worker.rs:25-140, pool.rs,
+crates/mccfr/src/strategy/async_profile.rs). The TPU redesign (SURVEY
+§2.5 P3, §5.8): rollout batches shard over the ``dp`` mesh axis, each
+device builds its own walker-node trees against the replicated infoset
+table, and the per-epoch regret/weight delta tables are **psum'd over
+ICI** before a replicated schedule application — exact synchronous
+updates instead of eventual consistency, no database in the loop.
+
+Scaling contract (BASELINE.md): ≥80% env-steps/s scaling at N ≥ 2 hosts;
+cross-host the same program runs under ``jax.distributed`` with the dp
+axis spanning DCN.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mccfr.sampling import SamplingConfig
+from ..mccfr.schedules import RegretSchedule, WeightSchedule
+from ..nlhe.table import InfoTable
+from ..nlhe.trainer import TrainerConfig, make_nlhe_step
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def make_sharded_nlhe_step(
+    bucket_fn,
+    regret_schedule: RegretSchedule,
+    weight_schedule: WeightSchedule,
+    sampling: SamplingConfig,
+    mesh: Mesh,
+    config: TrainerConfig = TrainerConfig(),
+    axis: str = "dp",
+    **kwargs,
+):
+    """Jitted data-parallel step over ``mesh``.
+
+    ``config.batch`` is the **per-device** tree count; the global batch is
+    ``batch * mesh.size``. The InfoTable is replicated; per-device keys
+    are derived inside the shard so no sharded inputs are needed.
+
+    Returns ``step(table, key) -> (table, metrics)``.
+    """
+    inner = make_nlhe_step(
+        bucket_fn, regret_schedule, weight_schedule, sampling,
+        config=config, axis_name=axis, **kwargs,
+    )
+
+    def shard_body(table: InfoTable, key: jnp.ndarray):
+        # decorrelate per-device rollouts (same table, different trees)
+        me = jax.lax.axis_index(axis)
+        return inner(table, jax.random.fold_in(key, me))
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

@@ -232,7 +232,8 @@ class Game:
             w = alive[0]
             return [self.pot - spent[w] if i == w else -spent[i] for i in range(2)]
         strengths = [
-            hand_strength(list(s.cards) + self.board) for s in self.seats
+            hand_strength([int(c) for c in s.cards] + [int(b) for b in self.board])
+            for s in self.seats
         ]
         if strengths[0] == strengths[1]:
             # split, each gets back min(spent, other's spent) matched portion;

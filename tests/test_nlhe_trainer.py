@@ -1,0 +1,82 @@
+"""NLHE blueprint trainer smoke + invariant tests (small configs)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from robopoker_tpu.mccfr import (
+    EXTERNAL_SAMPLING,
+    LINEAR_REGRET,
+    LINEAR_WEIGHT,
+    PLURIBUS_SAMPLING,
+)
+from robopoker_tpu.nlhe import (
+    TrainerConfig,
+    init_table,
+    make_nlhe_step,
+    proxy_bucket,
+)
+
+CFG = TrainerConfig(
+    batch=8, level_cap=32, cap=128, max_levels=4,
+    roll_steps=4, tail_steps=8, table_log2=14,
+)
+
+
+@pytest.fixture(scope="module")
+def stepped():
+    table = init_table(CFG.table_log2)
+    step = make_nlhe_step(
+        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING, CFG
+    )
+    metrics = None
+    for i in range(6):
+        table, metrics = step(table, jax.random.PRNGKey(0))
+    return table, metrics
+
+
+def test_trees_grow_and_update(stepped):
+    table, metrics = stepped
+    assert int(metrics["nodes"]) > 8          # more than just roots
+    assert int(metrics["touched_rows"]) > 0
+    assert int(table.epoch) == 6
+    nz = (np.abs(np.asarray(table.regret)).sum(axis=1) > 0).sum()
+    assert nz > 50  # many infoset rows learning
+
+
+def test_weights_accumulate_on_legal_only(stepped):
+    table, _ = stepped
+    w = np.asarray(table.weight)
+    r = np.asarray(table.regret)
+    # weight rows touched imply regret rows touched (same occupancy source)
+    touched_w = (w.sum(axis=1) > 0)
+    assert touched_w.sum() > 0
+    # visits counted where occupied
+    v = np.asarray(table.visits)
+    assert (v[touched_w] > 0).all()
+
+
+def test_determinism():
+    def run():
+        table = init_table(CFG.table_log2)
+        step = make_nlhe_step(
+            proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, CFG
+        )
+        for i in range(3):
+            table, _ = step(table, jax.random.PRNGKey(7))
+        return np.asarray(table.regret)
+
+    a, b = run(), run()
+    assert np.array_equal(a, b)
+
+
+def test_payoff_finite(stepped):
+    table, _ = stepped
+    # EVs are importance-weighted (π/q reach ratios exceed 1), so they can
+    # exceed raw chip stakes; they must stay finite and sane
+    p = np.asarray(table.payoff)
+    assert np.isfinite(p).all()
+    assert np.abs(p).max() < 1e5
+    r = np.asarray(table.regret)
+    assert np.isfinite(r).all()
