@@ -1,0 +1,171 @@
+"""Batched k-means over histograms with EMD-family distances.
+
+TPU-native counterpart of the reference's Elkan engine + clustering layer
+(ref: crates/elkan/src/elkan.rs:27-206, crates/lloyd/src/layer.rs:62-246,
+kmeans.rs:29-113). The reference prunes distance evaluations with
+triangle-inequality bounds per point (rayon-parallel); on TPU the win is
+the opposite shape: **evaluate all point×centroid distances as giant
+batched kernels** (Sinkhorn = MXU matmuls, variation = VPU cumsums) in
+HBM-sized chunks, and exploit structure instead of bounds:
+
+- assignment argmin needs only ``OT(p,c) − ½OT(c,c)`` — the point
+  self-cost is constant per point and drops out, eliminating the
+  reference's per-thread self-cost memo for the hot phase
+  (sinkhorn.rs:162-194 computes it per divergence call);
+- centroid update = normalized segment-sum of member histograms (the
+  reference's ``Absorb`` fold, elkan/src/absorb.rs).
+
+kmeans++ seeding follows the reference (layer.rs:140-183): first
+centroid uniform, then D²-weighted draws, deterministically keyed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pokerkit.hyperparams import KmeansHyperParams, SinkhornHyperParams
+from .sinkhorn import sinkhorn_cost, variation_distance
+
+
+@dataclasses.dataclass(frozen=True)
+class EmdSpec:
+    """Distance configuration for one street's clustering."""
+
+    kind: str                      # "sinkhorn" | "variation"
+    cost: np.ndarray | None = None  # [bins, bins] ground metric (sinkhorn)
+    sinkhorn_hp: SinkhornHyperParams = SinkhornHyperParams()
+
+
+def _pair_distance(points, centroids, spec: EmdSpec,
+                   centroid_self: jnp.ndarray | None):
+    """[P, bins] x [K, bins] → [P, K] assignment scores.
+
+    For sinkhorn: OT(p,c) − ½OT(c,c) (point self-cost omitted — constant
+    per row, argmin-invariant). For variation: exact 1D EMD.
+    """
+    P, K = points.shape[0], centroids.shape[0]
+    if spec.kind == "variation":
+        d = variation_distance(points[:, None, :], centroids[None, :, :])
+        return d
+    cost = jnp.asarray(spec.cost, jnp.float32)
+    mu = jnp.repeat(points, K, axis=0)             # [P*K, bins]
+    nu = jnp.tile(centroids, (P, 1))               # [P*K, bins]
+    xy = sinkhorn_cost(mu, nu, cost, spec.sinkhorn_hp).reshape(P, K)
+    return xy - 0.5 * centroid_self[None, :]
+
+
+def assign(points: jnp.ndarray, centroids: jnp.ndarray, spec: EmdSpec,
+           chunk: int = 4096) -> jnp.ndarray:
+    """Nearest-centroid assignment, chunked over points. Returns [N] int32."""
+    K = centroids.shape[0]
+    if spec.kind == "sinkhorn":
+        cost = jnp.asarray(spec.cost, jnp.float32)
+        cself = sinkhorn_cost(centroids, centroids, cost, spec.sinkhorn_hp)
+    else:
+        cself = None
+
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    blocks = pts.reshape(-1, chunk, points.shape[1])
+
+    def one(block):
+        d = _pair_distance(block, centroids, spec, cself)
+        return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+    out = jax.lax.map(one, blocks).reshape(-1)
+    return out[:n]
+
+
+def recompute(points: jnp.ndarray, assignment: jnp.ndarray, k: int,
+              weights: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Centroid update: normalized (weighted) segment-sum of members —
+    the Absorb fold. Empty clusters keep a zero row (caller reseeds)."""
+    w = jnp.ones(points.shape[0], jnp.float32) if weights is None else weights
+    sums = jnp.zeros((k, points.shape[1]), jnp.float32).at[assignment].add(
+        points * w[:, None]
+    )
+    mass = jnp.zeros(k, jnp.float32).at[assignment].add(w)
+    return jnp.where(mass[:, None] > 0, sums / jnp.maximum(mass[:, None], 1e-30), 0.0)
+
+
+def kmeans_pp_init(points: jnp.ndarray, k: int, spec: EmdSpec,
+                   key: jnp.ndarray, sample: int = 16384) -> jnp.ndarray:
+    """kmeans++ over a (possibly subsampled) point set
+    (ref: layer.rs:140-183 — full-set potentials; we subsample for the
+    init only, which preserves the D² concentration behavior)."""
+    n = points.shape[0]
+    if n > sample:
+        idx = jax.random.choice(key, n, (sample,), replace=False)
+        pts = points[idx]
+    else:
+        pts = points
+    m = pts.shape[0]
+
+    if spec.kind == "sinkhorn":
+        cost = jnp.asarray(spec.cost, jnp.float32)
+
+        def dist_to(c):
+            return sinkhorn_cost(
+                pts, jnp.broadcast_to(c, pts.shape), cost, spec.sinkhorn_hp
+            )
+    else:
+        def dist_to(c):
+            return variation_distance(pts, c[None, :])
+
+    first = jax.random.randint(key, (), 0, m)
+    centroids = jnp.zeros((k, points.shape[1]), jnp.float32).at[0].set(pts[first])
+    d2 = dist_to(pts[first]) ** 2
+
+    def body(i, carry):
+        centroids, d2 = carry
+        kk = jax.random.fold_in(key, i)
+        p = d2 / jnp.maximum(d2.sum(), 1e-30)
+        pick = jax.random.choice(kk, m, (), p=p)
+        c = pts[pick]
+        centroids = centroids.at[i].set(c)
+        d2 = jnp.minimum(d2, dist_to(c) ** 2)
+        return centroids, d2
+
+    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids, d2))
+    return centroids
+
+
+@dataclasses.dataclass
+class KmeansResult:
+    centroids: np.ndarray
+    assignment: np.ndarray
+    iterations: int
+    drift: float
+
+
+def cluster(points: jnp.ndarray, k: int, spec: EmdSpec, key: jnp.ndarray,
+            hp: KmeansHyperParams = KmeansHyperParams(),
+            chunk: int = 4096, weights: jnp.ndarray | None = None) -> KmeansResult:
+    """Full clustering pipeline: kmeans++ → iterate assign/recompute until
+    the iteration budget or drift threshold (ref: kmeans.rs:85-113)."""
+    centroids = kmeans_pp_init(points, k, spec, key)
+    drift = np.inf
+    it = 0
+    assignment = None
+    for it in range(hp.iterations):
+        assignment = assign(points, centroids, spec, chunk=chunk)
+        new = recompute(points, assignment, k, weights)
+        # reseed empty clusters from the previous centroid (stability)
+        empty = (new.sum(axis=1) == 0)[:, None]
+        new = jnp.where(empty, centroids, new)
+        drift = float(jnp.abs(new - centroids).sum(axis=1).mean())
+        centroids = new
+        if drift < hp.drift_threshold:
+            break
+    return KmeansResult(
+        centroids=np.asarray(centroids),
+        assignment=np.asarray(assignment),
+        iterations=it + 1,
+        drift=drift,
+    )

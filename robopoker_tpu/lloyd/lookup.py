@@ -1,0 +1,93 @@
+"""Device-resident iso → bucket lookup tables.
+
+TPU-native counterpart of the reference's ``Lookup: BTreeMap<Isomorphism,
+Abstraction>`` (ref: crates/lloyd/src/lookup.rs:25-193) and the
+``NlheEncoder``'s 138M-row hydrated map (ref: crates/nlhe/src/
+encoder.rs:196-215). B-trees don't exist on a TPU; the replacement is an
+**open-addressed hash table built exactly on the host** (collisions
+resolved by linear probing at build time) and queried on device with a
+fixed probe depth — pure gathers, no data-dependent loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROBES = 8
+
+
+@dataclasses.dataclass
+class IsoLookup:
+    key1: np.ndarray   # i32 [T]
+    key2: np.ndarray   # i32 [T]
+    value: np.ndarray  # i32 [T] (bucket id; -1 empty)
+
+    @property
+    def capacity(self) -> int:
+        return len(self.value)
+
+
+def build_lookup(h1: np.ndarray, h2: np.ndarray, values: np.ndarray,
+                 load: float = 0.5) -> IsoLookup:
+    """Host-side exact insert with linear probing (keys = 64-bit pairs)."""
+    n = len(values)
+    cap = 1 << int(np.ceil(np.log2(max(n / load, 16))))
+    mask = cap - 1
+    k1 = np.zeros(cap, np.int32)
+    k2 = np.zeros(cap, np.int32)
+    val = np.full(cap, -1, np.int32)
+    slots = (h1.astype(np.int64) ^ h2.astype(np.int64)) & mask
+    for i in range(n):
+        s = int(slots[i])
+        for probe in range(cap):
+            if val[s] == -1:
+                k1[s], k2[s], val[s] = h1[i], h2[i], values[i]
+                break
+            if k1[s] == h1[i] and k2[s] == h2[i]:
+                val[s] = values[i]  # overwrite (idempotent rebuild)
+                break
+            s = (s + 1) & mask
+        else:
+            raise RuntimeError("lookup table full")
+        if probe >= PROBES:
+            # grow until every chain fits the device's fixed probe depth
+            return build_lookup(h1, h2, values, load=load / 2)
+    return IsoLookup(k1, k2, val)
+
+
+def lookup_device(table: IsoLookup, h1: jnp.ndarray, h2: jnp.ndarray,
+                  default: int = 0) -> jnp.ndarray:
+    """Device query: [N] hash pairs → [N] bucket ids (default if absent).
+
+    Fixed-depth probe; the host build guarantees every present key is
+    reachable within its probe chain, and PROBES bounds worst-case chains
+    for load ≤ 0.5 with overwhelming probability (longer chains would
+    have failed loudly at build time via verify_probe_depth).
+    """
+    cap = table.capacity
+    k1 = jnp.asarray(table.key1)
+    k2 = jnp.asarray(table.key2)
+    val = jnp.asarray(table.value)
+    s0 = (h1 ^ h2) & (cap - 1)
+    out = jnp.full(h1.shape, default, jnp.int32)
+    found = jnp.zeros(h1.shape, bool)
+    for i in range(PROBES):
+        s = (s0 + i) & (cap - 1)
+        hit = (~found) & (k1[s] == h1) & (k2[s] == h2) & (val[s] >= 0)
+        out = jnp.where(hit, val[s], out)
+        found = found | hit
+    return out
+
+
+def verify_probe_depth(table: IsoLookup) -> int:
+    """Max probe distance of any occupied slot from its home (host audit)."""
+    cap = table.capacity
+    mask = cap - 1
+    occ = np.nonzero(table.value >= 0)[0]
+    home = (table.key1[occ].astype(np.int64) ^ table.key2[occ].astype(np.int64)) & mask
+    dist = (occ - home) & mask
+    return int(dist.max()) if len(occ) else 0

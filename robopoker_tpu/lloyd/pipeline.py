@@ -1,0 +1,117 @@
+"""Hierarchical abstraction pipeline (streets clustered in reverse).
+
+TPU-native counterpart of the reference's PreTraining / Layer::cluster
+orchestration (ref: crates/forge/src/pretraining.rs:21-63,
+crates/lloyd/src/layer.rs:195-246): Rive → Turn → Flop → Pref, each
+street consuming the next street's artifacts:
+
+- river:   equity quantization (no clustering; 101 buckets)
+- turn:    101-bin equity histograms → k-means (1D-EMD variation)
+- flop:    256-bin turn-cluster histograms → k-means (Sinkhorn over the
+           turn centroid metric)
+- preflop: 169 canonical classes → flop-cluster histograms → artifacts
+
+Artifacts per street (the reference's Artifacts{Lookup, Metric, Future},
+ref: layer.rs:62-115): an iso→bucket lookup table, the K×K centroid
+metric (next street's Sinkhorn ground cost), and centroid transition
+histograms.
+
+Scale: the full sweep (14M turn / 1.3M flop isos) is a long TPU run
+driven by :func:`enumerate_boards` chunks; ``sample_per_street`` trains
+reduced artifacts for tests and bring-up.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..deuce.isomorphism import canonical_key, hash_key
+from ..pokerkit.hyperparams import KmeansHyperParams, SinkhornHyperParams
+from .histogram import child_cluster_histograms, turn_histograms
+from .kmeans import EmdSpec, KmeansResult, cluster
+from .lookup import IsoLookup, build_lookup
+from .sinkhorn import sinkhorn_cost, variation_distance
+
+
+@dataclasses.dataclass
+class StreetArtifacts:
+    """Per-street clustering output (ref Artifacts, layer.rs:62-115)."""
+
+    street: int
+    centroids: np.ndarray       # [K, bins]
+    lookup: IsoLookup           # canonical-iso hash → cluster id
+    metric: np.ndarray          # [K, K] pairwise centroid distances
+    assignment: np.ndarray      # [N] cluster per training point
+
+
+def sample_observations(key, n: int, n_board: int, rng_seed: int = 0):
+    """Random (pocket, board) observations as numpy arrays."""
+    rng = np.random.default_rng(rng_seed)
+    deals = np.stack([rng.permutation(52)[: 2 + n_board] for _ in range(n)])
+    return deals[:, :2].astype(np.int32), deals[:, 2:].astype(np.int32)
+
+
+def dedupe_canonical(pocket: np.ndarray, board: np.ndarray):
+    """Keep one representative per canonical class; return arrays + hashes."""
+    words = np.asarray(canonical_key(jnp.asarray(pocket), jnp.asarray(board)))
+    _, idx = np.unique(
+        words.view([("", words.dtype)] * words.shape[1]).ravel(),
+        return_index=True,
+    )
+    idx = np.sort(idx)
+    h1, h2 = hash_key(jnp.asarray(words[idx]))
+    return pocket[idx], board[idx], np.asarray(h1), np.asarray(h2)
+
+
+def cluster_turn(pocket: np.ndarray, board4: np.ndarray, k: int,
+                 key, chunk: int = 2048,
+                 hp: KmeansHyperParams = KmeansHyperParams()) -> StreetArtifacts:
+    """Turn street: equity histograms + variation-EMD k-means
+    (configs: K=256, 32 iters; ref: pokerkit/src/lib.rs:185-191)."""
+    pocket, board4, h1, h2 = dedupe_canonical(pocket, board4)
+    feats = []
+    for i in range(0, len(pocket), chunk):
+        feats.append(np.asarray(turn_histograms(
+            jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board4[i:i + chunk])
+        )))
+    points = jnp.asarray(np.concatenate(feats))
+    res = cluster(points, k, EmdSpec("variation"), key, hp, chunk=chunk)
+    lookup = build_lookup(h1, h2, res.assignment.astype(np.int32))
+    c = jnp.asarray(res.centroids)
+    metric = np.asarray(variation_distance(c[:, None, :], c[None, :, :]))
+    return StreetArtifacts(2, res.centroids, lookup, metric, res.assignment)
+
+
+def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
+                 k: int, key, chunk: int = 1024,
+                 hp: KmeansHyperParams = KmeansHyperParams(),
+                 sinkhorn_hp: SinkhornHyperParams = SinkhornHyperParams()) -> StreetArtifacts:
+    """Flop street: turn-cluster histograms + Sinkhorn k-means over the
+    turn centroid metric (ref: layer.rs build() + metric dispatch)."""
+    pocket, board3, h1, h2 = dedupe_canonical(pocket, board3)
+    kt = turn.centroids.shape[0]
+    feats = []
+    for i in range(0, len(pocket), chunk):
+        feats.append(np.asarray(child_cluster_histograms(
+            jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board3[i:i + chunk]),
+            turn.lookup, kt,
+        )))
+    points = jnp.asarray(np.concatenate(feats))
+    spec = EmdSpec("sinkhorn", cost=turn.metric, sinkhorn_hp=sinkhorn_hp)
+    res = cluster(points, k, spec, key, hp, chunk=chunk)
+    lookup = build_lookup(h1, h2, res.assignment.astype(np.int32))
+    c = jnp.asarray(res.centroids)
+    cost = jnp.asarray(turn.metric, jnp.float32)
+    kk = c.shape[0]
+    mu = jnp.repeat(c, kk, axis=0)
+    nu = jnp.tile(c, (kk, 1))
+    xy = sinkhorn_cost(mu, nu, cost, sinkhorn_hp).reshape(kk, kk)
+    self_c = sinkhorn_cost(c, c, cost, sinkhorn_hp)
+    metric = np.asarray(
+        jnp.maximum(xy - 0.5 * (self_c[:, None] + self_c[None, :]), 0.0)
+    )
+    return StreetArtifacts(1, res.centroids, lookup, metric, res.assignment)

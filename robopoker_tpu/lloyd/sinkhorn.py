@@ -1,0 +1,109 @@
+"""Batched log-domain Sinkhorn divergence.
+
+TPU-native counterpart of the reference's entropic-OT EMD
+(ref: crates/lloyd/src/sinkhorn.rs:38-217). Formulas are mirrored
+exactly — potentials initialized to ln(1/|support|) on support
+(ref: potential.rs:41-49), alternating softmin updates
+
+    f(x) ← ln μ(x) − ln Σ_y max(exp(g(y) − C(x,y)/T), tiny)
+
+L1-of-exp delta stopping (sinkhorn.rs:135-142), transport cost
+Σ exp(f+g−C/T)·C, and the Feydy-debiased divergence
+``max(0, OT(μ,ν) − ½OT(μ,μ) − ½OT(ν,ν))``.
+
+TPU shape: the reference runs one histogram pair at a time with a
+per-thread self-cost memo; here **P pairs iterate together** — the
+exp-sum is one [P, bins] × [bins, bins] matmul per half-update, so 128
+Sinkhorn sweeps become 256 MXU matmuls over the whole pair batch.
+Early termination is emulated with a per-pair converged mask (updates
+freeze once the pair's delta drops below tolerance, preserving the
+reference's truncation semantics without dynamic shapes). Self-costs
+are computed once per unique histogram by the k-means caller instead of
+a memo cache.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..pokerkit.hyperparams import SinkhornHyperParams
+
+TINY = float(np.finfo(np.float32).tiny)
+NEG = -1e30  # effective -inf that stays NaN-free under arithmetic
+
+
+@functools.partial(jax.jit, static_argnames=("hp",))
+def sinkhorn_cost(mu: jnp.ndarray, nu: jnp.ndarray, cost: jnp.ndarray,
+                  hp: SinkhornHyperParams = SinkhornHyperParams()) -> jnp.ndarray:
+    """Entropic OT cost for batched histogram pairs.
+
+    mu, nu: [P, n] densities (rows sum to 1; zero bins = off-support).
+    cost:   [n, n] ground metric (or [P, n, n]).
+    Returns [P] transport costs.
+    """
+    creg = cost / hp.temperature                       # [*, n, n]
+    mu_on = mu > 0.0
+    nu_on = nu > 0.0
+    ln_mu = jnp.where(mu_on, jnp.log(jnp.maximum(mu, TINY)), NEG)
+    ln_nu = jnp.where(nu_on, jnp.log(jnp.maximum(nu, TINY)), NEG)
+
+    # uniform init over support: ln(1/|support|)
+    f = jnp.where(mu_on, -jnp.log(mu_on.sum(-1, keepdims=True).astype(jnp.float32)), NEG)
+    g = jnp.where(nu_on, -jnp.log(nu_on.sum(-1, keepdims=True).astype(jnp.float32)), NEG)
+
+    def half_update(pot_other, ln_self, on_self, transpose):
+        # softmin: ln_self − ln Σ_y max(exp(pot_other(y) − creg), tiny)
+        e = jnp.exp(pot_other)                        # [P, n] (0 off-support)
+        kern = jnp.exp(-creg)                         # [n, n] or [P, n, n]
+        if kern.ndim == 2:
+            s = e @ (kern.T if transpose else kern)   # [P, n]
+        else:
+            s = jnp.einsum("pn,pmn->pm", e, kern if transpose else
+                           jnp.swapaxes(kern, -1, -2))
+        s = jnp.maximum(s, TINY)
+        return jnp.where(on_self, ln_self - jnp.log(s), NEG)
+
+    def body(t, carry):
+        f, g, done = carry
+        f_new = half_update(g, ln_mu, mu_on, transpose=True)
+        df = jnp.abs(jnp.exp(f_new) - jnp.exp(f)).sum(-1)
+        f = jnp.where(done[:, None], f, f_new)
+        g_new = half_update(f, ln_nu, nu_on, transpose=False)
+        dg = jnp.abs(jnp.exp(g_new) - jnp.exp(g)).sum(-1)
+        g = jnp.where(done[:, None], g, g_new)
+        done = done | (df + dg < hp.tolerance)
+        return f, g, done
+
+    done0 = jnp.zeros(mu.shape[0], bool)
+    f, g, _ = jax.lax.fori_loop(0, hp.iterations, body, (f, g, done0))
+
+    # cost = Σ_{x,y} exp(f(x)+g(y)−C/T)·C
+    plan_log = f[:, :, None] + g[:, None, :] - creg
+    plan = jnp.exp(jnp.maximum(plan_log, NEG))
+    c = cost if cost.ndim == 3 else cost[None]
+    return (plan * c).sum(axis=(1, 2))
+
+
+def sinkhorn_divergence(mu: jnp.ndarray, nu: jnp.ndarray, cost: jnp.ndarray,
+                        self_mu: jnp.ndarray | None = None,
+                        self_nu: jnp.ndarray | None = None,
+                        hp: SinkhornHyperParams = SinkhornHyperParams()) -> jnp.ndarray:
+    """Debiased Sinkhorn divergence S_ε = OT(μ,ν) − ½OT(μ,μ) − ½OT(ν,ν)
+    (ref: sinkhorn.rs:162-176). Pass precomputed self-costs when batching
+    k-means assignments (points and centroids reuse them heavily)."""
+    xy = sinkhorn_cost(mu, nu, cost, hp)
+    xx = sinkhorn_cost(mu, mu, cost, hp) if self_mu is None else self_mu
+    yy = sinkhorn_cost(nu, nu, cost, hp) if self_nu is None else self_nu
+    return jnp.maximum(xy - 0.5 * xx - 0.5 * yy, 0.0)
+
+
+@jax.jit
+def variation_distance(mu: jnp.ndarray, nu: jnp.ndarray) -> jnp.ndarray:
+    """1D EMD on equity histograms: mean |ΔCDF| — exactly the reference's
+    ``Equity::variation`` (ref: crates/lloyd/src/equity.rs:40-52)."""
+    d = jnp.cumsum(mu - nu, axis=-1)
+    return jnp.abs(d).sum(axis=-1) / mu.shape[-1]
