@@ -150,7 +150,21 @@ def make_nlhe_step(
 
         ratio0 = jnp.ones(states.pot.shape[0], jnp.float32)
         n = C.roll_steps if steps is None else steps
-        states, ratio = jax.lax.fori_loop(0, n, body, (states, ratio0))
+
+        def cond(carry):
+            i, (states, _) = carry
+            t = G.turn_of(states)
+            rolling = (t == G.TURN_CHANCE) | ((t <= 1) & (t != walker)) \
+                if not include_walker else (t != G.TURN_TERMINAL)
+            return (i < n) & rolling.any()
+
+        def wbody(carry):
+            i, inner = carry
+            return i + 1, body(i, inner)
+
+        _, (states, ratio) = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), (states, ratio0))
+        )
         # a trailing deal in case the last action closed a street
         states = G.deal_board(states, jax.random.fold_in(key, 99))
         return states, ratio
@@ -330,13 +344,23 @@ def make_nlhe_step(
                     branch_of, n_slots, dropped, level_states, level_valid,
                     level_slot)
 
-        (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-         valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-         dropped, level_states, level_valid, level_slot) = jax.lax.fori_loop(
-            0, C.max_levels, level_body,
-            (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-             valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-             dropped, level_states, level_valid, level_slot),
+        def level_cond(carry):
+            lvl, lcarry = carry
+            level_valid = lcarry[16]
+            return (lvl < C.max_levels) & level_valid.any()
+
+        def level_wbody(carry):
+            lvl, lcarry = carry
+            return lvl + 1, level_body(lvl, lcarry)
+
+        _, (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+            valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
+            dropped, level_states, level_valid, level_slot) = jax.lax.while_loop(
+            level_cond, level_wbody,
+            (jnp.int32(0),
+             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+              valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
+              dropped, level_states, level_valid, level_slot)),
         )
 
         # --- tail: deep lines become on-policy sampled values -------------

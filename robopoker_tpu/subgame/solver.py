@@ -1,0 +1,478 @@
+"""Real-time subgame re-solving: depth-limited + world-partitioned MCCFR.
+
+TPU-native counterpart of the reference's combined ``SubGameSolver<W,L>``
+(ref: crates/subgame/src/solver.rs:24-143, depth/*.rs, world/*.rs) and
+the ``adapt_leaf/adapt_safe/adapt_full`` entry points
+(ref: crates/nlhe/src/solver.rs:96-137):
+
+- **worlds**: each rollout tree samples a world by posterior mass, then a
+  villain hole within that world (the reference's weighted world draw +
+  rejection re-deal, world/solver.rs + restrict.rs — here a masked
+  categorical, no rejection loop needed); infoset keys mix the world id
+  so worlds accrue regret independently (WorldInfo, world/info.rs:15)
+- **depth frontier**: the first chance node past the origin ends the
+  rollout; its value is the blueprint's accumulated infoset EV at the
+  nearest decision ancestor (the reference's chance-frontier
+  terminal_value, ref: crates/mccfr/src/strategy/nash.rs:62-80),
+  sign-adjusted to the walker. (The L×L biased-continuation pick game —
+  adapt_full's frontier refinement — is a planned extension; this is the
+  reference's ``adapt_leaf`` configuration.)
+- **warmstart read-through**: reads fall through to the frozen blueprint
+  transformed by the iteration-agnostic warmstart (weight = σ̄·K(K+1)/2,
+  regret = R·K/T_bp; ref: crates/mccfr/src/strategy/profile.rs:96-146);
+  writes land in a small local table (the reference's WorldProfile
+  local-map-over-frozen-blueprint routing, world/profile.rs:30-70)
+- fixed scheme per the reference: ExternalSampling + SummedRegret +
+  LinearWeight (subgame/src/solver.rs:24-60)
+- **harvest + blend**: refined policy summed over worlds, then per-edge
+  visit-gated convex mix with the blueprint
+  (ref: crates/parlor/src/players/solved.rs:127-150).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kicker import edges as E
+from ..kicker import game as G
+from ..mccfr.engine import averaged
+from ..nlhe.table import InfoTable, N_COLS, init_table, make_key, slot_of
+from ..nlhe.trainer import exploration_rows, regret_matching_rows, _scat, _scat_state
+from ..pokerkit.constants import EPSILON, N_WORLDS
+from ..pokerkit.hyperparams import (
+    SamplingHyperParams,
+    SubgameHyperParams,
+    WarmstartHyperParams,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResolveConfig:
+    batch: int = 64            # rollout trees per local epoch
+    level_cap: int = 64
+    cap: int = 512
+    max_levels: int = 6
+    roll_steps: int = 4
+    table_log2: int = 14       # local table (subgame infosets are few)
+
+
+def make_resolve_step(
+    bucket_fn,
+    config: ResolveConfig = ResolveConfig(),
+    sampling_hp: SamplingHyperParams = SamplingHyperParams(),
+    warmstart_hp: WarmstartHyperParams = WarmstartHyperParams(),
+    menu: np.ndarray | None = None,
+):
+    """Build the jitted subgame re-solve epoch.
+
+    Returns ``step(local, blueprint, head, hero_seat, probs, world_of,
+    wweights, key) -> local`` where ``head`` is the observed decision
+    state (batch of 1, replicated), ``probs``/``world_of``/``wweights``
+    come from the posterior module.
+    """
+    from ..kicker.edges import MENU_PLURIBUS
+    from ..deuce.observation import ALL_POCKETS
+
+    MENU = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
+    C = config
+    K = float(warmstart_hp.prior_strength)
+    pockets = jnp.asarray(ALL_POCKETS)
+    N = C.batch * C.level_cap
+
+    def lookup(states, world):
+        idx = G.actor_idx(states)
+        hole = jnp.take_along_axis(
+            states.hole, idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        bucket = bucket_fn(hole.astype(jnp.int32),
+                           states.board.astype(jnp.int32), states.street)
+        legal = G.legal_cols(states, MENU)
+        cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
+        sub = G.packed_subgame(states)
+        klo, khi = make_key(bucket, sub, cmask)
+        # base (blueprint) key is world-free; local key mixes the world
+        wlo = klo ^ (world * jnp.int32(0x9E3779B)) if world is not None else klo
+        return klo, khi, wlo, legal
+
+    def read_rows(local: InfoTable, blueprint: InfoTable, states, world, t_bp):
+        """Read-through cumulative regret/weight with warmstart transform."""
+        klo, khi, wlo, legal = lookup(states, world)
+        bp_row = slot_of(klo, khi, blueprint.capacity)
+        lc_row = slot_of(wlo, khi, local.capacity)
+        seeded = local.visits[lc_row] > 0
+        bp_sigma = averaged(blueprint.weight[bp_row], legal)
+        warm_w = bp_sigma * (K * (K + 1.0) / 2.0)
+        warm_r = blueprint.regret[bp_row] * (K / jnp.maximum(t_bp, 1.0))
+        regret = jnp.where(seeded[:, None], local.regret[lc_row], warm_r)
+        weight = jnp.where(seeded[:, None], local.weight[lc_row], warm_w)
+        return regret, weight, legal, lc_row, bp_row
+
+    def frontier_value(blueprint: InfoTable, last_row, last_actor, walker,
+                       last_legal):
+        """Blueprint V(I) at the nearest decision ancestor, walker-signed."""
+        pay = blueprint.payoff[last_row]
+        v = (pay * last_legal).sum(-1) / jnp.maximum(last_legal.sum(-1), 1)
+        return jnp.where(last_actor == walker, v, -v)
+
+    def roll(states, local, blueprint, world, walker, t_bp, key,
+             init_last=None):
+        """Opponent/chance roll that STOPS at chance nodes (depth frontier)
+        and returns (states, ratio, frontier_mask, frontier_value).
+
+        ``init_last`` seeds the nearest-decision-ancestor backstop with the
+        expanding parent's (bp_row, actor, legal) so a frontier reached
+        with no decision inside the roll (walker's action closed the
+        street) still values against the correct infoset."""
+        B = states.pot.shape[0]
+
+        def body(i, carry):
+            states, ratio, last_row, last_actor, last_legal = carry
+            t = G.turn_of(states)
+            is_opp = (t <= 1) & (t != walker)
+            regret, weight, legal, lc_row, bp_row = read_rows(
+                local, blueprint, states, world, t_bp
+            )
+            q = exploration_rows(weight, legal, sampling_hp)
+            pi = regret_matching_rows(regret, legal)
+            logits = jnp.where(legal, jnp.log(jnp.maximum(q, EPSILON)), -jnp.inf)
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.fold_in(key, i), jnp.arange(B)
+            )
+            col = jax.vmap(jax.random.categorical)(keys, logits)
+            picked_pi = jnp.take_along_axis(pi, col[:, None], axis=1)[:, 0]
+            picked_q = jnp.take_along_axis(q, col[:, None], axis=1)[:, 0]
+            ratio = ratio * jnp.where(
+                is_opp, picked_pi / jnp.maximum(picked_q, EPSILON), 1.0
+            )
+            # remember the acting infoset (frontier backstop)
+            dec = t <= 1
+            last_row = jnp.where(dec, bp_row, last_row)
+            last_actor = jnp.where(dec, t, last_actor)
+            last_legal = jnp.where(dec[:, None], legal, last_legal)
+            states = G.apply_cols(states, col, MENU, is_opp)
+            return states, ratio, last_row, last_actor, last_legal
+
+        ratio0 = jnp.ones(B, jnp.float32)
+        if init_last is None:
+            init_last = (jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+                         jnp.zeros((B, N_COLS), bool))
+        init = (states, ratio0) + tuple(init_last)
+        states, ratio, last_row, last_actor, last_legal = jax.lax.fori_loop(
+            0, C.roll_steps, body, init
+        )
+        t = G.turn_of(states)
+        at_frontier = t == G.TURN_CHANCE
+        fval = frontier_value(blueprint, last_row, last_actor, walker, last_legal)
+        return states, ratio, at_frontier, fval, last_row, last_actor, last_legal
+
+    def step(local: InfoTable, blueprint: InfoTable, head: G.TableState,
+             hero_seat, probs, world_of, wweights, key):
+        t = local.epoch
+        t_bp = blueprint.epoch.astype(jnp.float32)
+        walker = (t % 2).astype(jnp.int32)
+        ekey = jax.random.fold_in(key, t)
+        B, CAP, LC = C.batch, C.cap, C.level_cap
+        rows_b = jnp.arange(B)[:, None]
+
+        # --- roots: head replicated; villain hole ~ posterior|world -------
+        world = jax.random.categorical(
+            jax.random.fold_in(ekey, 1), jnp.log(jnp.maximum(wweights, 1e-30)),
+            shape=(B,),
+        ).astype(jnp.int32)
+        hole_logits = jnp.where(
+            world_of[None, :] == world[:, None],
+            jnp.log(jnp.maximum(probs, 1e-30))[None, :], -jnp.inf,
+        )
+        hkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.fold_in(ekey, 2), jnp.arange(B)
+        )
+        hole_idx = jax.vmap(jax.random.categorical)(hkeys, hole_logits)
+        vh = pockets[hole_idx].astype(jnp.int8)
+
+        roots = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[0][None], (B,) + a.shape[1:]), head
+        )
+        villain = (1 - hero_seat).astype(jnp.int32)
+        newhole = roots.hole.at[jnp.arange(B), villain].set(vh)
+        roots = roots._replace(hole=newhole)
+
+        # slot metadata (mirrors the blueprint trainer)
+        parent = jnp.zeros((B, CAP), jnp.int32)
+        pcol = jnp.zeros((B, CAP), jnp.int32)
+        ratio_in = jnp.zeros((B, CAP), jnp.float32)
+        reach = jnp.zeros((B, CAP), jnp.float32)
+        is_term = jnp.zeros((B, CAP), bool)
+        term_value = jnp.zeros((B, CAP), jnp.float32)
+        lrow_of = jnp.zeros((B, CAP), jnp.int32)
+        legal_of = jnp.zeros((B, CAP, N_COLS), bool)
+        branch_of = jnp.zeros((B, CAP, N_COLS), bool)
+        regret_of = jnp.zeros((B, CAP, N_COLS), jnp.float32)
+        level_of = jnp.full((B, CAP), -1, jnp.int32)
+        valid = jnp.zeros((B, CAP), bool)
+        n_slots = jnp.zeros(B, jnp.int32)
+
+        def terminalize(states, ratio, frontier, fval, walker):
+            tt = G.turn_of(states)
+            is_t = (tt == G.TURN_TERMINAL) | frontier
+            pnl = G.settle(states)
+            v = jnp.where(frontier, fval, pnl[:, walker])
+            return is_t, v
+
+        # head may itself be the walker's node or a villain node: roll first
+        roots, r0, f0, fv0, *_ = roll(
+            roots, local, blueprint, world_broadcast(world, 1), walker, t_bp,
+            jax.random.fold_in(ekey, 3),
+        )
+        is_t0, v0 = terminalize(roots, r0, f0, fv0, walker)
+        parent = parent.at[:, 0].set(-1)
+        ratio_in = ratio_in.at[:, 0].set(r0)
+        reach = reach.at[:, 0].set(r0)
+        is_term = is_term.at[:, 0].set(is_t0)
+        term_value = term_value.at[:, 0].set(v0)
+        level_of = level_of.at[:, 0].set(0)
+        valid = valid.at[:, 0].set(True)
+        n_slots = n_slots + 1
+
+        def widen(states1):
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    a[:, None, ...], (B, LC) + a.shape[1:]
+                ).reshape((N,) + a.shape[1:]),
+                states1,
+            )
+
+        level_states = widen(roots)
+        level_valid = jnp.zeros((B, LC), bool).at[:, 0].set(~is_t0)
+        level_slot = jnp.zeros((B, LC), jnp.int32)
+        level_world = jnp.broadcast_to(world[:, None], (B, LC))
+
+        def level_body(lvl, lcarry):
+            (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+             valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
+             level_states, level_valid, level_slot) = lcarry
+            lkey = jax.random.fold_in(ekey, 100 + lvl)
+            wflat = level_world.reshape(N)
+            regret, weight, legal, lc_row, bp_row = read_rows(
+                local, blueprint, level_states, wflat, t_bp
+            )
+            legal2 = legal.reshape(B, LC, N_COLS)
+            branch = legal2 & level_valid[:, :, None]
+
+            bmask = branch.reshape(B, LC * N_COLS)
+            prefix = jnp.cumsum(bmask, axis=1) - 1
+            child_slot = n_slots[:, None] + prefix
+            child_lpos = prefix
+            ok = bmask & (child_slot < CAP) & (child_lpos < LC)
+            n_slots = jnp.minimum(n_slots + bmask.sum(axis=1), CAP)
+
+            sl = jnp.where(level_valid, level_slot, CAP)
+            ok3 = ok.reshape(B, LC, N_COLS)
+            lrow_of = _scat(lrow_of, sl, lc_row.reshape(B, LC))
+            legal_of = _scat(legal_of, sl, legal2)
+            branch_of = _scat(branch_of, sl, ok3)
+            regret_of = _scat(regret_of, sl, regret.reshape(B, LC, N_COLS))
+
+            parent_reach = reach[rows_b, jnp.minimum(sl, CAP - 1)]
+            cs3 = child_slot.reshape(B, LC, N_COLS)
+            cl3 = child_lpos.reshape(B, LC, N_COLS)
+
+            def expand_col(col, carry):
+                (parent, pcol, ratio_in, reach, is_term, term_value,
+                 level_of, valid, next_states, next_valid, next_slot) = carry
+                m = jnp.take(ok3, col, axis=2)
+                cs = jnp.take(cs3, col, axis=2)
+                cl = jnp.take(cl3, col, axis=2)
+                st = G.apply_cols(
+                    level_states, jnp.full(N, col, jnp.int32), MENU, m.reshape(N)
+                )
+                st, rr, fr, fv, *_ = roll(
+                    st, local, blueprint, wflat, walker, t_bp,
+                    jax.random.fold_in(lkey, 10 + col),
+                    init_last=(bp_row, jnp.full(N, 0, jnp.int32) + walker, legal),
+                )
+                is_t, vv = terminalize(st, rr, fr, fv, walker)
+                rr = rr.reshape(B, LC)
+                term = is_t.reshape(B, LC)
+                vv = vv.reshape(B, LC)
+
+                csc = jnp.where(m, cs, CAP)
+                parent = _scat(parent, csc, sl)
+                pcol = _scat(pcol, csc, jnp.zeros((B, LC), jnp.int32) + col)
+                ratio_in = _scat(ratio_in, csc, rr)
+                reach = _scat(reach, csc, parent_reach * rr)
+                is_term = _scat(is_term, csc, term)
+                term_value = _scat(term_value, csc, vv)
+                level_of = _scat(level_of, csc, jnp.full((B, LC), lvl + 1, jnp.int32))
+                valid = _scat(valid, csc, jnp.ones((B, LC), bool))
+
+                clc = jnp.where(m & ~term, cl, LC)
+                next_states = _scat_state(next_states, clc, st, B, LC)
+                next_valid = _scat(next_valid, clc, jnp.ones((B, LC), bool))
+                next_slot = _scat(next_slot, clc, cs)
+                return (parent, pcol, ratio_in, reach, is_term, term_value,
+                        level_of, valid, next_states, next_valid, next_slot)
+
+            carry = (parent, pcol, ratio_in, reach, is_term, term_value,
+                     level_of, valid, level_states,
+                     jnp.zeros((B, LC), bool), jnp.zeros((B, LC), jnp.int32))
+            (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+             valid, level_states, level_valid, level_slot) = jax.lax.fori_loop(
+                0, N_COLS, expand_col, carry
+            )
+            return (parent, pcol, ratio_in, reach, is_term, term_value,
+                    level_of, valid, lrow_of, legal_of, branch_of, regret_of,
+                    n_slots, level_states, level_valid, level_slot)
+
+        def level_cond(carry):
+            lvl, lcarry = carry
+            return (lvl < C.max_levels) & lcarry[14].any()
+
+        def level_wbody(carry):
+            lvl, lcarry = carry
+            return lvl + 1, level_body(lvl, lcarry)
+
+        _, (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+            valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
+            level_states, level_valid, level_slot) = jax.lax.while_loop(
+            level_cond, level_wbody,
+            (jnp.int32(0),
+             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+              valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
+              level_states, level_valid, level_slot)),
+        )
+
+        # surviving deep lines: treat as frontier via their stored regrets
+        sl = jnp.where(level_valid, level_slot, CAP)
+        is_term = _scat(is_term, sl, jnp.ones((B, LC), bool))
+        term_value = _scat(term_value, sl, jnp.zeros((B, LC), jnp.float32))
+
+        # upward pass (policies from the read-through cumulative regrets)
+        v = jnp.where(is_term, term_value, 0.0)
+        edge_val = jnp.zeros((B, CAP, N_COLS), jnp.float32)
+        pi_all = regret_matching_rows(regret_of, legal_of)
+
+        def up_body(i, ucarry):
+            v, edge_val = ucarry
+            lvl = C.max_levels - i
+            at = valid & (level_of == lvl)
+            vv = (branch_of * pi_all * edge_val).sum(-1)
+            v = jnp.where(at & ~is_term, vv, v)
+            p = jnp.where(at, parent, CAP)
+            contrib = jnp.where(at, ratio_in * v, 0.0)
+            edge_val = edge_val.at[rows_b, p, pcol].add(contrib, mode="drop")
+            return v, edge_val
+
+        v, edge_val = jax.lax.fori_loop(0, C.max_levels, up_body, (v, edge_val))
+        v0v = (branch_of * pi_all * edge_val).sum(-1)
+        v = jnp.where(valid & (level_of == 0) & ~is_term, v0v, v)
+
+        # deltas → local table (SummedRegret + LinearWeight, the
+        # reference's fixed subgame scheme)
+        upd = valid & ~is_term
+        rdelta_slot = jnp.where(
+            upd[:, :, None] & branch_of,
+            reach[:, :, None] * (edge_val - v[:, :, None]), 0.0,
+        )
+        pdelta_slot = jnp.where(upd, reach * v, 0.0)
+
+        T = local.capacity
+        rows_flat = jnp.where(upd, lrow_of, T).reshape(-1)
+        rdelta = jnp.zeros((T + 1, N_COLS), jnp.float32).at[rows_flat].add(
+            rdelta_slot.reshape(-1, N_COLS))[:T]
+        touched = jnp.zeros((T + 1, N_COLS), bool).at[rows_flat].max(
+            (upd[:, :, None] & branch_of).reshape(-1, N_COLS))[:T]
+        occ = jnp.zeros(T + 1, bool).at[rows_flat].max(upd.reshape(-1))[:T]
+        legal_tab = jnp.zeros((T + 1, N_COLS), bool).at[rows_flat].max(
+            (upd[:, :, None] & legal_of).reshape(-1, N_COLS))[:T]
+        pdelta = jnp.zeros(T + 1, jnp.float32).at[rows_flat].add(
+            pdelta_slot.reshape(-1))[:T]
+        counts = jnp.zeros(T + 1, jnp.int32).at[rows_flat].add(
+            upd.reshape(-1).astype(jnp.int32))[:T]
+        # cumulative base for unseeded rows = warmstart values
+        warm_r = jnp.zeros((T + 1, N_COLS), jnp.float32).at[rows_flat].max(
+            jnp.where(upd[:, :, None], regret_of, -jnp.inf).reshape(-1, N_COLS)
+        )[:T]
+        seeded = local.visits > 0
+        base_r = jnp.where(seeded[:, None], local.regret,
+                           jnp.where(occ[:, None], warm_r, 0.0))
+        pi_tab = regret_matching_rows(base_r, legal_tab)
+
+        regret = jnp.where(touched, base_r + rdelta, local.regret)
+        tw = t.astype(jnp.float32)
+        occ_edge = occ[:, None] & legal_tab
+        weight = jnp.where(
+            occ_edge,
+            jnp.maximum(local.weight + pi_tab * counts[:, None] * tw, EPSILON),
+            local.weight,
+        )
+        payoff = jnp.where(
+            occ_edge,
+            local.payoff
+            + (pdelta[:, None] / jnp.maximum(counts, 1)[:, None] - local.payoff)
+            / (local.visits + 1)[:, None].astype(jnp.float32),
+            local.payoff,
+        )
+        visits = local.visits + jnp.where(occ, counts, 0)
+        return InfoTable(
+            regret=regret, weight=weight, payoff=payoff, visits=visits,
+            key_lo=local.key_lo, key_hi=local.key_hi, epoch=t + 1,
+        )
+
+    def world_broadcast(world, reps):
+        return jnp.repeat(world, reps, total_repeat_length=world.shape[0] * reps)
+
+    return jax.jit(step)
+
+
+def harvest_blend(local: InfoTable, blueprint: InfoTable, head: G.TableState,
+                  bucket_fn, hero_seat: int,
+                  menu: np.ndarray | None = None,
+                  n_worlds: int = N_WORLDS,
+                  hp: SubgameHyperParams = SubgameHyperParams()) -> np.ndarray:
+    """Refined policy at the head infoset, blended with the blueprint.
+
+    Sums refined weights and visits over the world-partitioned infosets
+    (ref: harvest.rs:18-39), then per-edge ``w = v/(v+threshold)`` convex
+    mix (ref: solved.rs:133-150). Returns [9] probabilities.
+    """
+    from ..kicker.edges import MENU_PLURIBUS
+    import jax.numpy as jnp
+
+    MENU = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
+    idx = G.actor_idx(head)
+    hole = jnp.take_along_axis(
+        head.hole, idx[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    bucket = bucket_fn(hole.astype(jnp.int32), head.board.astype(jnp.int32),
+                       head.street)
+    legal = G.legal_cols(head, MENU)
+    cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
+    sub = G.packed_subgame(head)
+    klo, khi = make_key(bucket, sub, cmask)
+
+    bp_row = int(np.asarray(slot_of(klo, khi, blueprint.capacity))[0])
+    bp_sigma = np.asarray(averaged(
+        blueprint.weight[bp_row][None], legal[0][None]))[0]
+
+    w_sum = np.zeros(N_COLS, np.float32)
+    v_sum = np.zeros(N_COLS, np.float32)
+    for w in range(n_worlds):
+        wlo = np.asarray(klo ^ (jnp.int32(w) * jnp.int32(0x9E3779B)))[0]
+        row = int((wlo ^ int(np.asarray(khi)[0])) & (local.capacity - 1))
+        w_sum += np.asarray(local.weight[row])
+        v_sum += float(np.asarray(local.visits[row])) * np.ones(N_COLS)
+
+    legal0 = np.asarray(legal[0])
+    refined = np.where(legal0, np.maximum(w_sum, 0.0), 0.0)
+    z = refined.sum()
+    refined = refined / z if z > 0 else bp_sigma
+
+    blend_w = v_sum / (v_sum + hp.visit_threshold)
+    mixed = blend_w * refined + (1.0 - blend_w) * bp_sigma
+    mixed = np.where(legal0, mixed, 0.0)
+    return mixed / max(mixed.sum(), 1e-30)

@@ -1,0 +1,124 @@
+"""Subgame re-solving tests: posterior replay, belief partition, resolve
+step, harvest/blend.
+
+Mirrors the reference's subgame test strategy (SURVEY §4.3): posterior
+reach behavior, world partition invariants, and a full re-solve smoke
+against a (lightly trained) blueprint.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robopoker_tpu.kicker import MENU_PLURIBUS, apply_cols, root, turn_of
+from robopoker_tpu.mccfr import LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING
+from robopoker_tpu.nlhe import TrainerConfig, init_table, make_nlhe_step, proxy_bucket
+from robopoker_tpu.subgame import (
+    ResolveConfig,
+    belief_partition,
+    harvest_blend,
+    make_posterior_fn,
+    make_resolve_step,
+    world_weights,
+)
+
+MENU = jnp.asarray(MENU_PLURIBUS)
+
+
+@pytest.fixture(scope="module")
+def blueprint():
+    cfg = TrainerConfig(batch=8, level_cap=32, cap=128, max_levels=3,
+                        roll_steps=4, tail_steps=8, table_log2=14)
+    table = init_table(14)
+    step = make_nlhe_step(proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT,
+                          PLURIBUS_SAMPLING, cfg)
+    for _ in range(4):
+        table, _ = step(table, jax.random.PRNGKey(0))
+    return table
+
+
+def test_posterior_uniform_before_villain_acts(blueprint):
+    # hero (seat 0) is first to act preflop: villain has revealed nothing,
+    # so the posterior over live holes must be uniform
+    posterior = make_posterior_fn(proxy_bucket, MENU_PLURIBUS, seq_len=4)
+    kind = np.full(4, 2, np.int32)   # all padding
+    col = np.zeros(4, np.int32)
+    cards = np.full((4, 3), -1, np.int32)
+    hero_hole = np.array([48, 49], np.int32)  # AcAd-ish
+    probs, live, head = posterior(
+        blueprint, jnp.asarray(kind), jnp.asarray(col), jnp.asarray(cards),
+        jnp.int32(0), jnp.asarray(hero_hole),
+    )
+    probs, live = np.asarray(probs), np.asarray(live)
+    # C(50,2) = 1225 live holes, uniform
+    assert live.sum() == 1225
+    assert np.allclose(probs[live], 1.0 / 1225, atol=1e-6)
+    assert probs[~live].sum() == 0.0
+
+
+def test_posterior_shifts_after_villain_action(blueprint):
+    # villain (seat 1, BB) responds to hero's open: the posterior now
+    # weights holes by the blueprint's policy for the taken action
+    posterior = make_posterior_fn(proxy_bucket, MENU_PLURIBUS, seq_len=4)
+    # hero (dealer/seat 0) opens 2bb = col 4; villain calls = col 2
+    kind = np.array([0, 0, 2, 2], np.int32)
+    col = np.array([4, 2, 0, 0], np.int32)
+    cards = np.full((4, 3), -1, np.int32)
+    hero_hole = np.array([0, 1], np.int32)
+    probs, live, head = posterior(
+        blueprint, jnp.asarray(kind), jnp.asarray(col), jnp.asarray(cards),
+        jnp.int32(0), jnp.asarray(hero_hole),
+    )
+    probs = np.asarray(probs)
+    assert abs(probs.sum() - 1.0) < 1e-5
+    # with a (lightly trained) nonuniform blueprint the posterior need not
+    # be uniform; it must remain a valid distribution over live holes
+    live = np.asarray(live)
+    assert probs[~live].max() == 0.0
+
+
+def test_belief_partition_invariants():
+    rng = np.random.default_rng(0)
+    probs = rng.random(1326).astype(np.float32) ** 4
+    probs[100:] *= 0.01
+    probs /= probs.sum()
+    world = belief_partition(probs, 4)
+    assert world.shape == (1326,)
+    assert set(np.unique(world)) <= {0, 1, 2, 3}
+    w = world_weights(probs, world, 4)
+    # equal-mass quantiles: each world holds ~1/4 of the posterior
+    assert np.allclose(w, 0.25, atol=0.05)
+    # world 0 contains the highest-reach hole
+    assert world[probs.argmax()] == 0
+
+
+def test_resolve_step_and_blend(blueprint):
+    # head: fresh root (hero seat 0 to act preflop)
+    head = root(jax.random.PRNGKey(3), 1)
+    probs = np.full(1326, 1.0 / 1326, np.float32)
+    world = belief_partition(probs, 4)
+    ww = world_weights(probs, world, 4)
+
+    cfg = ResolveConfig(batch=16, level_cap=24, cap=96, max_levels=3,
+                        roll_steps=3, table_log2=12)
+    step = make_resolve_step(proxy_bucket, cfg)
+    local = init_table(12)
+    for _ in range(3):
+        local = step(
+            local, blueprint, head, jnp.int32(0), jnp.asarray(probs),
+            jnp.asarray(world), jnp.asarray(ww), jax.random.PRNGKey(1),
+        )
+    assert int(local.epoch) == 3
+    assert int((np.abs(np.asarray(local.regret)).sum(axis=1) > 0).sum()) > 0
+
+    pol = harvest_blend(local, blueprint, head, proxy_bucket, 0)
+    legal = np.asarray(
+        jnp.asarray(MENU_PLURIBUS)[0, 0]  # sanity only
+    )
+    assert pol.shape == (9,)
+    assert abs(pol.sum() - 1.0) < 1e-5
+    assert (pol >= 0).all()
+    # illegal columns carry no mass (preflop open spot: no check=col1)
+    assert pol[1] == 0.0
