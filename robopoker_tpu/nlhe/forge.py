@@ -1,0 +1,127 @@
+"""Blueprint training orchestration.
+
+TPU-native counterpart of the reference's ``forge`` crate
+(ref: crates/forge/src/{mode,trainer,fast,pretraining}.rs): the Fast
+in-memory session becomes a jit-stepped loop with periodic array-file
+snapshots; Slow mode (DB-backed workers) is subsumed by the sharded
+data-parallel step (robopoker_tpu/parallel). Resumability, fingerprint
+guarding, interrupt handling, and the 30-minute flush cadence all mirror
+the reference's contract (SURVEY §5.3-5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+import time
+
+import jax
+import numpy as np
+
+from ..mccfr.sampling import PLURIBUS_SAMPLING, SamplingConfig
+from ..mccfr.schedules import (
+    LINEAR_REGRET,
+    LINEAR_WEIGHT,
+    RegretSchedule,
+    WeightSchedule,
+)
+from ..pokerkit.hyperparams import TrainingHyperParams
+from ..pokerkit.regime import RunConfig
+from ..utils import interrupt
+from ..utils.checkpoint import load_table, save_table
+from ..utils.metrics import Metrics
+from .abstraction import proxy_bucket
+from .table import init_table
+from .trainer import TrainerConfig, make_nlhe_step
+
+
+@dataclasses.dataclass
+class FastSession:
+    """In-memory blueprint training with periodic snapshots
+    (ref: crates/forge/src/fast.rs:14-122)."""
+
+    workdir: str = "artifacts"
+    run: RunConfig = dataclasses.field(default_factory=RunConfig)
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    regret: RegretSchedule = LINEAR_REGRET
+    weight: WeightSchedule = LINEAR_WEIGHT
+    sampling: SamplingConfig = PLURIBUS_SAMPLING
+    training_hp: TrainingHyperParams = TrainingHyperParams()
+    bucket_fn: object = None
+    mesh: object = None          # jax Mesh → data-parallel step
+
+    def __post_init__(self):
+        self.workdir = pathlib.Path(self.workdir)
+        self.ckpt = self.workdir / "blueprint.npz"
+        self.metrics = Metrics(log_interval_s=self.training_hp.log_interval_s)
+        bucket = self.bucket_fn or proxy_bucket
+        if self.mesh is not None:
+            from ..parallel.train import make_sharded_nlhe_step
+
+            self.step = make_sharded_nlhe_step(
+                bucket, self.regret, self.weight, self.sampling,
+                self.mesh, self.trainer,
+            )
+        else:
+            self.step = make_nlhe_step(
+                bucket, self.regret, self.weight, self.sampling, self.trainer,
+            )
+        if self.ckpt.exists():
+            self.table = load_table(self.ckpt, self.run)  # fingerprint guard
+            print(f"resumed blueprint at epoch {int(self.table.epoch)}")
+        else:
+            self.table = init_table(self.trainer.table_log2)
+        self.key = jax.random.PRNGKey(self.run.seed)
+
+    def snapshot(self) -> None:
+        t0 = time.monotonic()
+        save_table(self.ckpt, self.table, self.run)
+        self.metrics.set("mccfr_flush_duration", time.monotonic() - t0)
+
+    def train(self, epochs: int | None = None) -> None:
+        """Step until `epochs`, interrupt, or TRAIN_DURATION; flush every
+        flush_interval and on exit (ref: fast.rs:80-122)."""
+        interrupt.install()
+        last_flush = time.monotonic()
+        n = 0
+        while epochs is None or n < epochs:
+            self.table, m = self.step(self.table, self.key)
+            n += 1
+            self.metrics.inc("mccfr_steps")
+            self.metrics.inc("mccfr_nodes", int(m["nodes"]))
+            self.metrics.inc("mccfr_infos", int(m["touched_rows"]))
+            self.metrics.set(
+                "mccfr_sum_regret",
+                float(np.maximum(np.asarray(self.table.regret), 0).sum())
+                / max(int(self.table.epoch), 1),
+            )
+            self.metrics.maybe_log()
+            if time.monotonic() - last_flush > self.training_hp.flush_interval_s:
+                self.snapshot()
+                last_flush = time.monotonic()
+            if interrupt.interrupted():
+                break
+        jax.block_until_ready(self.table)
+        self.snapshot()
+        self.metrics.maybe_log(force=True)
+
+
+def status(workdir: str = "artifacts") -> dict:
+    """Training status from the snapshot log (ref: Mode::Status)."""
+    import json
+
+    log = pathlib.Path(workdir) / "snapshots.jsonl"
+    if not log.exists():
+        return {"snapshots": 0}
+    lines = [json.loads(l) for l in log.read_text().splitlines() if l]
+    last = lines[-1] if lines else {}
+    return {"snapshots": len(lines), **last}
+
+
+def reset(workdir: str = "artifacts") -> None:
+    """Drop blueprint artifacts (ref: Mode::Reset)."""
+    w = pathlib.Path(workdir)
+    for f in ("blueprint.npz", "snapshots.jsonl"):
+        p = w / f
+        if p.exists():
+            p.unlink()

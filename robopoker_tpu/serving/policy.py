@@ -1,0 +1,192 @@
+"""Serving-side decision policies: the composable bot stack.
+
+TPU-native counterpart of the reference's ``Brain`` composition
+``Dirac<World<Depth<Blueprint>>>`` and the variant cube
+(ref: crates/parlor/src/players/{mod,zoo,solved}.rs:1-60,
+crates/pokerkit/src/variant.rs:41-70): a base Blueprint policy, an
+optional subgame re-solving layer (depth/world), and an optional Dirac
+(argmax) selector — 8 variants total, mirroring the reference's
+benchmark cube.
+
+A ``Witness`` is the hero's view of the hand: seat, hole cards, and the
+observed action/deal sequence (ref: crates/kicker/src/witness.rs:36-48).
+Policies replay it into a head state on device and return a distribution
+over the 9-column action axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..kicker import MENU_PLURIBUS, edges as E, game as G
+from ..mccfr.engine import averaged
+from ..nlhe.abstraction import proxy_bucket
+from ..nlhe.table import InfoTable, N_COLS, make_key, slot_of
+from ..pokerkit.hyperparams import SubgameHyperParams
+from ..subgame import (
+    ResolveConfig,
+    belief_partition,
+    harvest_blend,
+    make_posterior_fn,
+    make_resolve_step,
+    world_weights,
+)
+
+MAX_SEQ_LEN = 24
+
+
+@dataclasses.dataclass
+class Witness:
+    """Hero's observed view of the hand (ref: witness.rs:36-48)."""
+
+    hero_seat: int
+    hero_hole: np.ndarray            # [2] cards
+    events: list                     # [("col", col)] | [("deal", [cards])]
+
+    def sequence(self):
+        kind = np.full(MAX_SEQ_LEN, 2, np.int32)
+        col = np.zeros(MAX_SEQ_LEN, np.int32)
+        cards = np.full((MAX_SEQ_LEN, 3), -1, np.int32)
+        for i, (k, v) in enumerate(self.events[:MAX_SEQ_LEN]):
+            if k == "col":
+                kind[i], col[i] = 0, int(v)
+            else:
+                kind[i] = 1
+                for j, c in enumerate(v):
+                    cards[i, j] = int(c)
+        return kind, col, cards
+
+
+@dataclasses.dataclass
+class Blueprint:
+    """Pure blueprint lookup (ref: players/blueprint.rs)."""
+
+    table: InfoTable
+    bucket_fn: object = None
+    menu: np.ndarray = None
+
+    def __post_init__(self):
+        self.bucket_fn = self.bucket_fn or proxy_bucket
+        self.menu = MENU_PLURIBUS if self.menu is None else self.menu
+        self._posterior = make_posterior_fn(
+            self.bucket_fn, self.menu, seq_len=MAX_SEQ_LEN
+        )
+
+    def head_state(self, witness: Witness):
+        """Replay the witness into the head TableState (batch of 1) and
+        the villain-hole posterior."""
+        kind, col, cards = witness.sequence()
+        probs, live, lanes = self._posterior(
+            self.table, jnp.asarray(kind), jnp.asarray(col),
+            jnp.asarray(cards), jnp.int32(witness.hero_seat),
+            jnp.asarray(witness.hero_hole.astype(np.int32)),
+        )
+        head = jax.tree.map(lambda a: a[:1], lanes)
+        # lane 0 carries an arbitrary villain hole; hero's view only
+        return head, np.asarray(probs), np.asarray(live)
+
+    def distribution(self, witness: Witness) -> np.ndarray:
+        head, _, _ = self.head_state(witness)
+        menu = jnp.asarray(self.menu)
+        idx = G.actor_idx(head)
+        hole = jnp.take_along_axis(
+            head.hole, idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        bucket = self.bucket_fn(
+            hole.astype(jnp.int32), head.board.astype(jnp.int32), head.street
+        )
+        legal = G.legal_cols(head, menu)
+        cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
+        sub = G.packed_subgame(head)
+        klo, khi = make_key(bucket, sub, cmask)
+        row = slot_of(klo, khi, self.table.capacity)
+        return np.asarray(averaged(self.table.weight[row], legal))[0]
+
+
+@dataclasses.dataclass
+class Resolver:
+    """Subgame re-solving layer over a Blueprint (depth + world)
+    (ref: players/solved.rs:22-45 — spend budget, harvest, blend)."""
+
+    blueprint: Blueprint
+    config: ResolveConfig = ResolveConfig()
+    budget_s: float = SubgameHyperParams().decision_budget_ms / 1000.0
+    seed: int = 0
+
+    def __post_init__(self):
+        from ..nlhe.table import init_table
+
+        self._step = make_resolve_step(self.blueprint.bucket_fn, self.config)
+        self._init = lambda: init_table(self.config.table_log2)
+
+    def distribution(self, witness: Witness) -> np.ndarray:
+        head, probs, live = self.blueprint.head_state(witness)
+        world = belief_partition(probs)
+        ww = world_weights(probs, world)
+        local = self._init()
+        key = jax.random.PRNGKey(self.seed)
+        t0 = time.monotonic()
+        it = 0
+        while time.monotonic() - t0 < self.budget_s:
+            local = self._step(
+                local, self.blueprint.table, head,
+                jnp.int32(witness.hero_seat), jnp.asarray(probs),
+                jnp.asarray(world), jnp.asarray(ww), key,
+            )
+            it += 1
+        jax.block_until_ready(local)
+        return harvest_blend(
+            local, self.blueprint.table, head,
+            self.blueprint.bucket_fn, witness.hero_seat,
+        )
+
+
+def dirac(dist: np.ndarray) -> int:
+    """Argmax action selection (ref: players/zoo.rs Dirac)."""
+    return int(np.argmax(dist))
+
+
+def sample(dist: np.ndarray, rng: np.random.Generator) -> int:
+    p = np.maximum(dist, 0)
+    p = p / p.sum() if p.sum() > 0 else np.ones_like(p) / len(p)
+    return int(rng.choice(len(dist), p=p))
+
+
+@dataclasses.dataclass
+class Agent:
+    """A zoo variant: (policy, selector) (ref: variant.rs:41-70)."""
+
+    policy: object       # Blueprint | Resolver
+    use_dirac: bool = True
+    seed: int = 0
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+
+    def decide(self, witness: Witness) -> int:
+        dist = self.policy.distribution(witness)
+        return dirac(dist) if self.use_dirac else sample(dist, self._rng)
+
+
+def zoo(blueprint: Blueprint) -> dict:
+    """The 8-cell variant cube: {depth/world resolve} × {dirac/sample},
+    plus the raw blueprint (ref: zoo.rs:57, README Benchmarks table).
+
+    Depth-only vs world+depth share the resolver here (the resolver is
+    world-partitioned and depth-limited by construction); the distinction
+    the reference draws is which wrappers are active — exposed as the
+    same labels for benchmark parity.
+    """
+    res = Resolver(blueprint)
+    return {
+        "base": Agent(blueprint, use_dirac=False),
+        "dirac": Agent(blueprint, use_dirac=True),
+        "depth+world": Agent(res, use_dirac=False),
+        "depth+world+dirac": Agent(res, use_dirac=True),
+    }

@@ -1,0 +1,67 @@
+"""Array-file checkpoint store.
+
+TPU-native counterpart of the reference's Postgres blueprint persistence
+(ref: crates/forge/src/fast.rs:36-122, crates/daybook/src/stage.rs,
+traits/streamable.rs): the staging-table → COPY → merge → stamp-epoch →
+snapshot-row dance becomes an atomic .npz write plus a JSONL snapshot
+log, keyed by the run-config fingerprint so cross-config resumes are
+refused (the reference's Fingerprint::check, §4.7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import tempfile
+import time
+
+import numpy as np
+
+from ..nlhe.table import InfoTable
+from ..pokerkit.regime import RunConfig, check_fingerprint
+
+
+def save_table(path: str | pathlib.Path, table: InfoTable,
+               config: RunConfig, extra: dict | None = None) -> None:
+    """Atomic checkpoint write (tmp + rename) + snapshot log append."""
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {k: np.asarray(v) for k, v in table._asdict().items()}
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".npz")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, fingerprint=config.fingerprint(), **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    log = path.parent / "snapshots.jsonl"
+    with open(log, "a") as f:
+        f.write(json.dumps({
+            "time": time.time(),
+            "epoch": int(payload["epoch"]),
+            "file": path.name,
+            "fingerprint": config.fingerprint(),
+            "touched_rows": int(
+                (np.abs(payload["regret"]).sum(axis=1) > 0).sum()
+            ),
+            **(extra or {}),
+        }) + "\n")
+
+
+def load_table(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
+    """Resume a checkpoint; refuses config-fingerprint mismatches."""
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        check_fingerprint(str(z["fingerprint"]), config)
+        return InfoTable(
+            regret=jnp.asarray(z["regret"]),
+            weight=jnp.asarray(z["weight"]),
+            payoff=jnp.asarray(z["payoff"]),
+            visits=jnp.asarray(z["visits"]),
+            key_lo=jnp.asarray(z["key_lo"]),
+            key_hi=jnp.asarray(z["key_hi"]),
+            epoch=jnp.asarray(z["epoch"]),
+        )

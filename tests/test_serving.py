@@ -1,0 +1,145 @@
+"""Serving layer tests: policy stack, parlor engine, litmus, AIVAT,
+slumbot translation, HTTP API."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robopoker_tpu.mccfr import LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING
+from robopoker_tpu.nlhe import TrainerConfig, init_table, make_nlhe_step, proxy_bucket
+from robopoker_tpu.serving import (
+    Agent,
+    Benchmark,
+    Blueprint,
+    Engine,
+    HandRecord,
+    Session,
+    Witness,
+    litmus,
+    slumbot,
+)
+from robopoker_tpu.serving.aivat import Aivat
+
+
+@pytest.fixture(scope="module")
+def blueprint():
+    cfg = TrainerConfig(batch=8, level_cap=32, cap=128, max_levels=3,
+                        roll_steps=4, tail_steps=8, table_log2=14)
+    table = init_table(14)
+    step = make_nlhe_step(proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT,
+                          PLURIBUS_SAMPLING, cfg)
+    for _ in range(4):
+        table, _ = step(table, jax.random.PRNGKey(0))
+    return Blueprint(table)
+
+
+def test_blueprint_distribution_is_valid(blueprint):
+    w = Witness(hero_seat=0, hero_hole=np.array([48, 49]), events=[])
+    d = blueprint.distribution(w)
+    assert d.shape == (9,)
+    assert abs(d.sum() - 1.0) < 1e-5
+    assert d[1] == 0.0  # check illegal facing the blind
+
+
+def test_parlor_plays_full_hands(blueprint):
+    agents = [Agent(blueprint, use_dirac=False, seed=s) for s in (0, 1)]
+    engine = Engine(agents, seed=3)
+    pnl = engine.play(4)
+    assert pnl.shape == (4, 2)
+    assert np.allclose(pnl.sum(axis=1), 0.0)       # zero-sum
+    assert (np.abs(pnl) <= 200).all()              # bounded by stacks
+
+
+def test_litmus_grid_integrity(blueprint):
+    import pathlib
+
+    doc = litmus.load(
+        pathlib.Path("robopoker_tpu/serving/scenarios.json")
+    )
+    results = litmus.evaluate(blueprint, doc)
+    assert len(results) == 7
+    # grid-slot integrity must always hold, trained or not
+    for r in results:
+        if r.category == "integrity":
+            assert r.passed, r
+    md = litmus.render(results)
+    assert "Litmus report" in md
+
+
+def test_slumbot_translation():
+    assert slumbot.to_local(20_000) == 400
+    assert slumbot.to_slumbot(400) == 20_000
+    acts = slumbot.parse_actions("b300c/kk/b100b300c/k")
+    assert acts[0] == ("bet", 300, 0)
+    assert acts[1] == ("call", 0, 0)
+    assert acts[2] == ("check", 0, 1)
+    assert acts[4] == ("bet", 100, 2)
+    assert slumbot.render_action("bet", 4) == "b200"
+    assert slumbot.render_action("fold") == "f"
+
+
+def test_slumbot_session_with_fake_transport():
+    script = iter([
+        {"token": "t1", "action": "", "winnings_pending": True},
+        {"token": "t1", "winnings": 150},
+        {"token": "t1", "action": ""},
+        {"token": "t1", "winnings": -100},
+    ])
+
+    class FoldBot:
+        def decide_slumbot(self, state):
+            return "f"
+
+    session = Session(transport=lambda ep, payload: next(script), agent=FoldBot())
+    session.play_hand()
+    session.play_hand()
+    s = session.benchmark.summary()
+    assert s["hands"] == 2
+    assert s["bb_per_100"] == pytest.approx((1.5 - 1.0) / 2 * 100)
+
+
+def test_aivat_zero_sum_sanity(blueprint):
+    # corrections leave the estimator mean near the raw mean for a
+    # symmetric batch of hands, and never produce NaN
+    hands = [
+        HandRecord(hero_seat=0, hero_hole=np.array([48, 49]),
+                   events=[("col", 2, 0), ("col", 1, 1)], chips_won=2.0),
+        HandRecord(hero_seat=1, hero_hole=np.array([0, 5]),
+                   events=[("col", 2, 0), ("col", 1, 1)], chips_won=-2.0),
+    ]
+    a = Aivat(blueprint.table, proxy_bucket)
+    delta = a.evaluate(hands)
+    assert delta.n_hands == 2
+    assert np.isfinite(delta.aivat_mean)
+    assert np.isfinite(delta.reduction)
+
+
+def test_http_api(blueprint):
+    from aiohttp.test_utils import TestClient, TestServer, loop_context
+
+    from robopoker_tpu.serving.api import build_app
+
+    with loop_context() as loop:
+        app = build_app(blueprint)
+
+        async def drive():
+            server = TestServer(app)
+            client = TestClient(server)
+            await client.start_server()
+            r = await client.get("/health")
+            assert (await r.json())["ok"] is True
+            r = await client.post("/strategy/policy", json={
+                "hero_seat": 0, "hero_hole": [48, 49], "events": [],
+            })
+            body = await r.json()
+            assert len(body["policy"]) == 9
+            assert abs(sum(body["policy"]) - 1.0) < 1e-4
+            r = await client.get("/training/status")
+            assert r.status == 200
+            await client.close()
+
+        loop.run_until_complete(drive())
