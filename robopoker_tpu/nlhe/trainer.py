@@ -13,11 +13,13 @@ on rayon threads; here the whole batch is **one jit-compiled program**:
    ancestor_reach/recursed_value weighting, flow.rs:128-220). Only
    walker decision points occupy slots, so a tree of thousands of game
    states compresses to tens of slots.
-2. **Level-synchronous expansion** with static capacities: each level
-   expands every live walker slot into ≤9 children (one masked
-   `apply_cols` pass per action column), rolls each child to the next
-   walker decision or terminal, and allocates slots by per-tree
-   prefix-sum. Over-capacity branches are dropped and counted.
+2. **Compacted cross-tree worklists.** Each BFS level's live walker
+   nodes from *all* trees share one dense [work_cap] buffer (tree ids
+   carried per entry), so lane work tracks the actual frontier width
+   instead of batch × per-tree capacity — the dense-lane formulation
+   wasted ~99% of lanes on masked no-ops. Children are allocated by a
+   global prefix-sum with per-tree slot ranks recovered via segment
+   offsets. Over-capacity branches are dropped and counted.
 3. **Tail sampling**: lines still alive at the last level switch to
    on-policy sampling of the walker's own action (unbiased value
    estimate, no regret updates below) instead of truncating to 0.
@@ -54,12 +56,20 @@ from .table import InfoTable, N_COLS, make_key, slot_of
 @dataclasses.dataclass(frozen=True)
 class TrainerConfig:
     batch: int = 128           # trees per epoch (ref: nlhe batch=128)
-    level_cap: int = 128       # walker nodes per level per tree
-    cap: int = 1024            # walker-node slots per tree
+    work_cap: int = 8192       # cross-tree worklist width per level
+    cap: int = 1536            # walker-node slots per tree
     max_levels: int = 8        # walker decisions along a line before tail
-    roll_steps: int = 6        # opp/chance steps between walker decisions
-    tail_steps: int = 24       # on-policy sampled steps for deep lines
+    roll_steps: int = 5        # opp/chance steps between walker decisions
+    tail_steps: int = 16       # on-policy sampled steps for deep lines
     table_log2: int = 20
+    # legacy alias (pre-compaction configs passed per-tree level width)
+    level_cap: int | None = None
+
+    def __post_init__(self):
+        if self.level_cap is not None:
+            object.__setattr__(
+                self, "work_cap", max(self.batch * self.level_cap // 4, 256)
+            )
 
 
 def regret_matching_rows(regret, legal):
@@ -73,6 +83,34 @@ def exploration_rows(weight, legal, hp: SamplingHyperParams):
     sw = jnp.maximum((w / hp.temperature + hp.smoothing) / denom, hp.curiosity)
     sw = jnp.where(legal, sw, 0.0)
     return sw / sw.sum(axis=-1, keepdims=True)
+
+
+def flat_scat(arr, flat_idx, val, spill):
+    """Scatter into a flattened [(B*CAP)+1 spill] view of arr [B, CAP, ...].
+
+    flat_idx entries equal to ``spill`` are dropped.
+    """
+    shape = arr.shape
+    flat = arr.reshape((shape[0] * shape[1],) + shape[2:])
+    widened = jnp.concatenate(
+        [flat, jnp.zeros((1,) + flat.shape[1:], arr.dtype)], axis=0
+    )
+    out = widened.at[flat_idx].set(val)
+    return out[:-1].reshape(shape)
+
+
+def work_scat(arr, idx, val, cap):
+    """Scatter into a worklist array [cap(, ...)]; idx == cap drops."""
+    widened = jnp.concatenate(
+        [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], axis=0
+    )
+    return widened.at[idx].set(val)[:-1]
+
+
+def work_scat_state(states, idx, new_states, cap):
+    return jax.tree.map(
+        lambda a, b: work_scat(a, idx, b, cap), states, new_states
+    )
 
 
 def make_nlhe_step(
@@ -99,18 +137,16 @@ def make_nlhe_step(
 
     MENU = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
     C = config
-    N = C.batch * C.level_cap  # flattened level width
+    W = C.work_cap
 
     def lookup(states):
         """Infoset identity for the ACTING player of each state."""
-        b = states.pot.shape[0]
         idx = G.actor_idx(states)
         hole = jnp.take_along_axis(
             states.hole, idx[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
-        board = states.board
         bucket = bucket_fn(hole.astype(jnp.int32),
-                           board.astype(jnp.int32), states.street)
+                           states.board.astype(jnp.int32), states.street)
         legal = G.legal_cols(states, MENU)
         cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
         sub = G.packed_subgame(states)
@@ -181,19 +217,14 @@ def make_nlhe_step(
         cols = cols.at[:, E.COL_CHECK].set(closes_check)
         return cols
 
-    def flat(states):
-        return jax.tree.map(
-            lambda a: a.reshape((N,) + a.shape[2:]) if a.ndim >= 2 else a, states
-        )
-
     def step(table: InfoTable, key: jnp.ndarray):
         t = table.epoch
         walker = (t % 2).astype(jnp.int32)
         ekey = jax.random.fold_in(key, t)
+        B, CAP = C.batch, C.cap
+        SPILL = B * CAP  # flat spill index for dropped slot writes
 
-        B, CAP, LC = C.batch, C.cap, C.level_cap
-
-        # --- global slot metadata ----------------------------------------
+        # --- global slot metadata [B, CAP] --------------------------------
         parent = jnp.zeros((B, CAP), jnp.int32)
         pcol = jnp.zeros((B, CAP), jnp.int32)
         ratio_in = jnp.zeros((B, CAP), jnp.float32)
@@ -210,11 +241,9 @@ def make_nlhe_step(
         n_slots = jnp.zeros(B, jnp.int32)
         dropped = jnp.zeros((), jnp.int32)
 
-        # --- root: one state per tree, rolled to the first walker node ---
+        # --- roots --------------------------------------------------------
         roots = G.root(jax.random.fold_in(ekey, 900001), B)
         roots, r0 = roll(roots, table, walker, jax.random.fold_in(ekey, 900002))
-
-        # seed slot 0
         t0 = G.turn_of(roots)
         term0 = t0 == G.TURN_TERMINAL
         pnl0 = G.settle(roots)
@@ -228,126 +257,133 @@ def make_nlhe_step(
         valid = valid.at[:, 0].set(True)
         n_slots = n_slots + 1
 
-        # pad level buffer to LEVEL_CAP states per tree
-        def widen(states1):
+        # --- worklist [W]: live level nodes across all trees --------------
+        def pad_work(states_b):
+            """Place the B roots at worklist positions 0..B-1."""
+            assert B <= W, "work_cap must cover the root level"
             return jax.tree.map(
-                lambda a: jnp.broadcast_to(
-                    a[:, None] if a.ndim == 1 else a[:, None, ...],
-                    (B, LC) + a.shape[1:],
-                ).reshape((N,) + a.shape[1:]),
-                states1,
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((W - B,) + a.shape[1:], a.dtype)], axis=0
+                ),
+                states_b,
             )
 
-        level_states = widen(roots)  # only position 0 per tree is live
-        level_valid = jnp.zeros((B, LC), bool).at[:, 0].set(~term0)
-        level_slot = jnp.zeros((B, LC), jnp.int32)
-
-        rows_b = jnp.arange(B)[:, None]
+        work_states = pad_work(roots)
+        work_tree = jnp.concatenate(
+            [jnp.arange(B, dtype=jnp.int32), jnp.zeros(W - B, jnp.int32)]
+        )
+        work_valid = jnp.concatenate([~term0, jnp.zeros(W - B, bool)])
+        work_slot = jnp.zeros(W, jnp.int32)
 
         def level_body(lvl, lcarry):
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
              valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-             dropped, level_states, level_valid, level_slot) = lcarry
+             dropped, work_states, work_tree, work_valid, work_slot) = lcarry
             lkey = jax.random.fold_in(ekey, 100 + lvl)
-            # infoset + policy of live level nodes
-            klo, khi, legal = lookup(level_states)
+
+            klo, khi, legal = lookup(work_states)
             row = slot_of(klo, khi, table.capacity)
             regret_rows = table.regret[row]
-            pi = regret_matching_rows(regret_rows, legal)
 
-            legal2 = legal.reshape(B, LC, N_COLS)
-            row2 = row.reshape(B, LC)
-
-            # pluribus pruning mask over walker branches
+            legal = legal & work_valid[:, None]
             if sampling.prunes:
-                ct = child_terminal_cols(level_states).reshape(B, LC, N_COLS)
-                keep = legal2 & (
-                    ct | (regret_rows.reshape(B, LC, N_COLS) > sampling.threshold)
-                )
-                keep = jnp.where(keep.any(-1, keepdims=True), keep, legal2)
+                ct = child_terminal_cols(work_states)
+                keep = legal & (ct | (regret_rows > sampling.threshold))
+                keep = jnp.where(keep.any(-1, keepdims=True), keep, legal)
                 if sampling.scheme == PLURIBUS:
-                    eu = jax.random.uniform(jax.random.fold_in(lkey, 5), (B, LC))
+                    eu = jax.random.uniform(jax.random.fold_in(lkey, 5), (W,))
                     no_prune = (t < sampling.warmup) | (eu < sampling.explore)
-                    branch = jnp.where(no_prune[:, :, None], legal2, keep)
+                    branch = jnp.where(no_prune[:, None], legal, keep)
                 else:
                     branch = keep
             else:
-                branch = legal2
-            branch = branch & level_valid[:, :, None]
+                branch = legal
 
-            # allocate child slots by per-tree prefix sum
-            bmask = branch.reshape(B, LC * N_COLS)
-            prefix = jnp.cumsum(bmask, axis=1) - 1
-            child_slot = n_slots[:, None] + prefix          # [B, LC*9]
-            child_lpos = prefix                              # position in next level
-            ok = bmask & (child_slot < CAP) & (child_lpos < LC)
-            dropped = dropped + (bmask & ~ok).sum()
-            n_slots = jnp.minimum(n_slots + bmask.sum(axis=1), CAP)
+            # --- allocation: global compact rank + per-tree slot rank -----
+            bflat = branch.reshape(W * N_COLS)
+            grank = jnp.cumsum(bflat) - 1                       # global order
+            tree_of_child = jnp.repeat(work_tree, N_COLS)
+            per_tree = jnp.zeros(B + 1, jnp.int32).at[tree_of_child].add(
+                bflat.astype(jnp.int32), mode="drop"
+            )[:B]
+            tree_offset = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32), jnp.cumsum(per_tree)[:-1]]
+            )
+            tree_rank = grank - tree_offset[tree_of_child]
+            child_slot = n_slots[tree_of_child] + tree_rank      # per-tree
+            child_pos = grank                                    # next worklist
+            ok = bflat & (child_slot < CAP) & (child_pos < W)
+            dropped = dropped + (bflat & ~ok).sum()
+            n_slots = jnp.minimum(n_slots + per_tree, CAP)
 
-            # write meta for this level's slots (spill lane for invalid);
-            # realized branches only — over-capacity drops must not enter
-            # the regret vector as zero-valued edges
-            sl = jnp.where(level_valid, level_slot, CAP)
-            ok3 = ok.reshape(B, LC, N_COLS)
-            row_of = _scat(row_of, sl, row2)
-            klo_of = _scat(klo_of, sl, klo.reshape(B, LC))
-            khi_of = _scat(khi_of, sl, khi.reshape(B, LC))
-            legal_of = _scat(legal_of, sl, legal2)
-            branch_of = _scat(branch_of, sl, ok3)
+            # --- this level's slot meta (flat scatter, spill drops) -------
+            sl_flat = jnp.where(
+                work_valid, work_tree * CAP + work_slot, SPILL
+            )
+            ok3 = ok.reshape(W, N_COLS)
+            row_of = flat_scat(row_of, sl_flat, row, SPILL)
+            klo_of = flat_scat(klo_of, sl_flat, klo, SPILL)
+            khi_of = flat_scat(khi_of, sl_flat, khi, SPILL)
+            legal_of = flat_scat(legal_of, sl_flat, legal, SPILL)
+            branch_of = flat_scat(branch_of, sl_flat, ok3, SPILL)
 
-            parent_reach = reach[rows_b, jnp.minimum(sl, CAP - 1)]  # [B, LC]
-            ok3 = ok.reshape(B, LC, N_COLS)
-            cs3 = child_slot.reshape(B, LC, N_COLS)
-            cl3 = child_lpos.reshape(B, LC, N_COLS)
+            parent_reach = reach.reshape(-1)[
+                jnp.minimum(sl_flat, SPILL - 1)
+            ]
+            cs3 = child_slot.reshape(W, N_COLS)
+            cp3 = child_pos.reshape(W, N_COLS)
 
             def expand_col(col, carry):
                 (parent, pcol, ratio_in, reach, is_term, term_value,
-                 level_of, valid, next_states, next_valid, next_slot) = carry
-                m = jnp.take(ok3, col, axis=2)
-                cs = jnp.take(cs3, col, axis=2)
-                cl = jnp.take(cl3, col, axis=2)
+                 level_of, valid, next_states, next_tree, next_valid,
+                 next_slot) = carry
+                m = jnp.take(ok3, col, axis=1)
+                cs = jnp.take(cs3, col, axis=1)
+                cp = jnp.take(cp3, col, axis=1)
                 st = G.apply_cols(
-                    level_states, jnp.full(N, col, jnp.int32), MENU, m.reshape(N)
+                    work_states, jnp.full(W, col, jnp.int32), MENU, m
                 )
                 st, rr = roll(st, table, walker, jax.random.fold_in(lkey, 10 + col))
-                rr = rr.reshape(B, LC)
-                term = (G.turn_of(st) == G.TURN_TERMINAL).reshape(B, LC)
-                vv = G.settle(st)[:, walker].reshape(B, LC)
+                term = G.turn_of(st) == G.TURN_TERMINAL
+                vv = G.settle(st)[:, walker]
 
-                csc = jnp.where(m, cs, CAP)  # CAP = spill row (ignored)
-                colf = jnp.full((B, LC), 0, jnp.int32) + col
-                parent = _scat(parent, csc, sl)
-                pcol = _scat(pcol, csc, colf)
-                ratio_in = _scat(ratio_in, csc, rr)
-                reach = _scat(reach, csc, parent_reach * rr)
-                is_term = _scat(is_term, csc, term)
-                term_value = _scat(term_value, csc, vv)
-                level_of = _scat(level_of, csc, jnp.full((B, LC), lvl + 1, jnp.int32))
-                valid = _scat(valid, csc, jnp.ones((B, LC), bool))
+                csf = jnp.where(m, work_tree * CAP + cs, SPILL)
+                colf = jnp.zeros(W, jnp.int32) + col
+                parent = flat_scat(parent, csf, work_slot, SPILL)
+                pcol = flat_scat(pcol, csf, colf, SPILL)
+                ratio_in = flat_scat(ratio_in, csf, rr, SPILL)
+                reach = flat_scat(reach, csf, parent_reach * rr, SPILL)
+                is_term = flat_scat(is_term, csf, term, SPILL)
+                term_value = flat_scat(term_value, csf, vv, SPILL)
+                level_of = flat_scat(
+                    level_of, csf, jnp.full(W, lvl + 1, jnp.int32), SPILL
+                )
+                valid = flat_scat(valid, csf, jnp.ones(W, bool), SPILL)
 
-                clc = jnp.where(m & ~term, cl, LC)
-                next_states = _scat_state(next_states, clc, st, B, LC)
-                next_valid = _scat(next_valid, clc, jnp.ones((B, LC), bool))
-                next_slot = _scat(next_slot, clc, cs)
+                cpw = jnp.where(m & ~term, cp, W)
+                next_states = work_scat_state(next_states, cpw, st, W)
+                next_tree = work_scat(next_tree, cpw, work_tree, W)
+                next_valid = work_scat(next_valid, cpw, jnp.ones(W, bool), W)
+                next_slot = work_scat(next_slot, cpw, cs, W)
                 return (parent, pcol, ratio_in, reach, is_term, term_value,
-                        level_of, valid, next_states, next_valid, next_slot)
+                        level_of, valid, next_states, next_tree, next_valid,
+                        next_slot)
 
             carry = (parent, pcol, ratio_in, reach, is_term, term_value,
-                     level_of, valid, level_states,
-                     jnp.zeros((B, LC), bool), jnp.zeros((B, LC), jnp.int32))
+                     level_of, valid, work_states, work_tree,
+                     jnp.zeros(W, bool), jnp.zeros(W, jnp.int32))
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-             valid, level_states, level_valid, level_slot) = jax.lax.fori_loop(
-                0, N_COLS, expand_col, carry
+             valid, work_states, work_tree, work_valid, work_slot) = (
+                jax.lax.fori_loop(0, N_COLS, expand_col, carry)
             )
             return (parent, pcol, ratio_in, reach, is_term, term_value,
                     level_of, valid, row_of, klo_of, khi_of, legal_of,
-                    branch_of, n_slots, dropped, level_states, level_valid,
-                    level_slot)
+                    branch_of, n_slots, dropped, work_states, work_tree,
+                    work_valid, work_slot)
 
         def level_cond(carry):
             lvl, lcarry = carry
-            level_valid = lcarry[16]
-            return (lvl < C.max_levels) & level_valid.any()
+            return (lvl < C.max_levels) & lcarry[17].any()
 
         def level_wbody(carry):
             lvl, lcarry = carry
@@ -355,30 +391,33 @@ def make_nlhe_step(
 
         _, (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
             valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-            dropped, level_states, level_valid, level_slot) = jax.lax.while_loop(
-            level_cond, level_wbody,
-            (jnp.int32(0),
-             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-              valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-              dropped, level_states, level_valid, level_slot)),
+            dropped, work_states, work_tree, work_valid, work_slot) = (
+            jax.lax.while_loop(
+                level_cond, level_wbody,
+                (jnp.int32(0),
+                 (parent, pcol, ratio_in, reach, is_term, term_value,
+                  level_of, valid, row_of, klo_of, khi_of, legal_of,
+                  branch_of, n_slots, dropped, work_states, work_tree,
+                  work_valid, work_slot)),
+            )
         )
+        SPILLW = B * CAP
 
         # --- tail: deep lines become on-policy sampled values -------------
-        tail_alive = level_valid  # [B, LC] lines that never terminated
         st, _ = roll(
-            level_states, table, walker, jax.random.fold_in(ekey, 999),
+            work_states, table, walker, jax.random.fold_in(ekey, 999),
             include_walker=True, steps=C.tail_steps,
         )
-        ttail = G.turn_of(st).reshape(B, LC)
-        pnl = G.settle(st)
-        vtail = pnl[:, walker].reshape(B, LC)
-        unfinished = tail_alive & (ttail != G.TURN_TERMINAL)
+        ttail = G.turn_of(st)
+        vtail = G.settle(st)[:, walker]
+        unfinished = work_valid & (ttail != G.TURN_TERMINAL)
         vtail = jnp.where(unfinished, 0.0, vtail)
-        sl = jnp.where(tail_alive, level_slot, CAP)
-        is_term = _scat(is_term, sl, jnp.ones((B, LC), bool))
-        term_value = _scat(term_value, sl, vtail)
+        slf = jnp.where(work_valid, work_tree * CAP + work_slot, SPILLW)
+        is_term = flat_scat(is_term, slf, jnp.ones(W, bool), SPILLW)
+        term_value = flat_scat(term_value, slf, vtail, SPILLW)
 
-        # --- upward value pass -------------------------------------------
+        # --- upward value pass --------------------------------------------
+        rows_b = jnp.arange(B)[:, None]
         v = jnp.where(is_term, term_value, 0.0)  # [B, CAP]
         edge_val = jnp.zeros((B, CAP, N_COLS), jnp.float32)
         pi_all = regret_matching_rows(table.regret[row_of], legal_of)
@@ -387,19 +426,14 @@ def make_nlhe_step(
             v, edge_val = ucarry
             lvl = C.max_levels - i
             at = valid & (level_of == lvl)
-            # non-terminal slots at this level: fold edge_vals into v
             vv = (branch_of * pi_all * edge_val).sum(-1)
             v = jnp.where(at & ~is_term, vv, v)
-            # push values into parents' edge slots (spill-drop OOB)
             p = jnp.where(at, parent, CAP)
             contrib = jnp.where(at, ratio_in * v, 0.0)
             edge_val = edge_val.at[rows_b, p, pcol].add(contrib, mode="drop")
             return v, edge_val
 
-        v, edge_val = jax.lax.fori_loop(
-            0, C.max_levels, up_body, (v, edge_val)
-        )
-        # level-0 root value
+        v, edge_val = jax.lax.fori_loop(0, C.max_levels, up_body, (v, edge_val))
         v0v = (branch_of * pi_all * edge_val).sum(-1)
         v = jnp.where(valid & (level_of == 0) & ~is_term, v0v, v)
 
@@ -407,35 +441,25 @@ def make_nlhe_step(
         upd = valid & ~is_term
         rdelta_slot = jnp.where(
             upd[:, :, None] & branch_of,
-            reach[:, :, None] * (edge_val - v[:, :, None]),
-            0.0,
+            reach[:, :, None] * (edge_val - v[:, :, None]), 0.0,
         )
         pdelta_slot = jnp.where(upd, reach * v, 0.0)
 
         T = table.capacity
         rows_flat = jnp.where(upd, row_of, T).reshape(-1)
         rdelta = jnp.zeros((T + 1, N_COLS), jnp.float32).at[rows_flat].add(
-            rdelta_slot.reshape(-1, N_COLS)
-        )[:T]
+            rdelta_slot.reshape(-1, N_COLS))[:T]
         touched = jnp.zeros((T + 1, N_COLS), bool).at[rows_flat].max(
-            (upd[:, :, None] & branch_of).reshape(-1, N_COLS)
-        )[:T]
-        occ = jnp.zeros(T + 1, bool).at[rows_flat].max(
-            upd.reshape(-1)
-        )[:T]
+            (upd[:, :, None] & branch_of).reshape(-1, N_COLS))[:T]
+        occ = jnp.zeros(T + 1, bool).at[rows_flat].max(upd.reshape(-1))[:T]
         legal_tab = jnp.zeros((T + 1, N_COLS), bool).at[rows_flat].max(
-            (upd[:, :, None] & legal_of).reshape(-1, N_COLS)
-        )[:T]
+            (upd[:, :, None] & legal_of).reshape(-1, N_COLS))[:T]
         pdelta = jnp.zeros(T + 1, jnp.float32).at[rows_flat].add(
-            pdelta_slot.reshape(-1)
-        )[:T]
+            pdelta_slot.reshape(-1))[:T]
         counts = jnp.zeros(T + 1, jnp.int32).at[rows_flat].add(
-            upd.reshape(-1).astype(jnp.int32)
-        )[:T]
+            upd.reshape(-1).astype(jnp.int32))[:T]
 
         # --- multi-chip: all-reduce the per-shard deltas over ICI ----------
-        # (SURVEY §2.5 P3: the reference's Postgres parameter server becomes
-        # a psum of regret deltas into the replicated learner table)
         if axis_name is not None:
             rdelta = jax.lax.psum(rdelta, axis_name)
             pdelta = jax.lax.psum(pdelta, axis_name)
@@ -500,6 +524,7 @@ def make_nlhe_step(
     return step if axis_name is not None else jax.jit(step)
 
 
+# legacy helpers kept for the subgame resolver (dense per-tree layout)
 def _scat(arr, idx, val):
     """Per-tree scatter: arr [B, CAP(+1 spill)...], idx [B, LC] (CAP=drop)."""
     B, cap = arr.shape[0], arr.shape[1]
