@@ -82,6 +82,7 @@ class _Static:
     parent_arm: jnp.ndarray
     levels: list
     legal: jnp.ndarray         # [I, A]
+    chance_w: jnp.ndarray      # [n, B] normalized chance distributions
     n_players: int
     max_branch: int
     max_actions: int
@@ -90,7 +91,15 @@ class _Static:
 
 
 def _static(tree: DenseTree) -> _Static:
+    valid = tree.child >= 0
+    if tree.chance_weight is not None:
+        cw = np.where(valid, tree.chance_weight, 0.0).astype(np.float32)
+    else:
+        cw = valid.astype(np.float32)
+    denom = np.maximum(cw.sum(axis=1, keepdims=True), 1e-30)
+    cw = cw / denom
     return _Static(
+        chance_w=jnp.asarray(cw),
         kind=jnp.asarray(tree.kind),
         info=jnp.asarray(np.maximum(tree.info, 0)),
         has_info=jnp.asarray(tree.info >= 0),
@@ -169,10 +178,10 @@ def make_step(
         salt = jnp.where(S.kind >= 0, S.info + n, node_ids)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(key_tree, salt)
 
-        # chance: uniform over branches
-        u = jax.vmap(jax.random.uniform)(keys)
-        chance_sel = jnp.minimum((u * S.n_branch).astype(jnp.int32),
-                                 jnp.maximum(S.n_branch - 1, 0))
+        # chance: draw from the node's chance distribution (uniform for
+        # base games; posterior-weighted in subgame re-solves)
+        clogits = jnp.where(S.branch_valid, jnp.log(jnp.maximum(S.chance_w, 1e-30)), -jnp.inf)
+        chance_sel = jax.vmap(jax.random.categorical)(keys, clogits)
         # opponent: categorical over exploration q
         logits = jnp.where(S.branch_valid, jnp.log(jnp.maximum(q_pad, EPSILON)), -jnp.inf)
         opp_sel = jax.vmap(jax.random.categorical)(keys, logits)
@@ -330,7 +339,6 @@ def make_exploitability(tree: DenseTree):
         sigma = averaged(weight, S.legal)
         sig_node = _pad_to_branch(sigma[S.info], S.max_branch)
         n = S.n_nodes
-        inv_nb = 1.0 / jnp.maximum(S.n_branch, 1).astype(jnp.float32)
 
         def best_response(h):
             pay_h = S.payoff[:, h]
@@ -340,7 +348,7 @@ def make_exploitability(tree: DenseTree):
                 kidv = value[S.child[lvl]]
                 wgt = jnp.where(
                     (S.kind[lvl] == CHANCE)[:, None],
-                    S.branch_valid[lvl] * inv_nb[lvl][:, None],
+                    S.chance_w[lvl],
                     sig_node[lvl],
                 )
                 agg = (S.branch_valid[lvl] * wgt * kidv).sum(axis=1)
@@ -372,7 +380,7 @@ def make_exploitability(tree: DenseTree):
                 kidv = value[S.child[lvl]]
                 wgt = jnp.where(
                     (S.kind[lvl] == CHANCE)[:, None],
-                    S.branch_valid[lvl] * inv_nb[lvl][:, None],
+                    S.chance_w[lvl],
                     sig_node[lvl],
                 )
                 avg = (S.branch_valid[lvl] * wgt * kidv).sum(axis=1)

@@ -85,6 +85,8 @@ class DenseTree:
     info_player: np.ndarray     # [I]
     info_edges: list[tuple]     # id -> edge labels
     edge_labels: list[list]     # [n] node's branch edge labels (debug/host)
+    chance_weight: np.ndarray | None = None  # [n, max_branch] non-uniform
+    # chance distributions (subgame posteriors); None ⇒ uniform
 
     def legal_mask(self) -> np.ndarray:
         """[I, max_actions] bool."""
