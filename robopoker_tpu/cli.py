@@ -1,0 +1,152 @@
+"""Command-line entry points.
+
+TPU-native counterpart of the reference's binaries
+(ref: bin/{trainer,backend,litmus,slumbot}/src/main.rs): one argparse
+front door with subcommands —
+
+    python -m robopoker_tpu train    [--epochs N] [--workdir DIR] [--mesh N]
+    python -m robopoker_tpu cluster  [--street S] [--samples N]
+    python -m robopoker_tpu status   [--workdir DIR]
+    python -m robopoker_tpu reset    [--workdir DIR]
+    python -m robopoker_tpu litmus   [--scenarios FILE] [--workdir DIR]
+    python -m robopoker_tpu serve    [--port P] [--workdir DIR]
+    python -m robopoker_tpu bench
+
+Mode semantics mirror forge's Mode enum (ref: crates/forge/src/mode.rs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="robopoker_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="blueprint MCCFR training (forge fast mode)")
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--workdir", default="artifacts")
+    t.add_argument("--batch", type=int, default=128)
+    t.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel devices (0 = single chip)")
+    t.add_argument("--table-log2", type=int, default=20)
+
+    c = sub.add_parser("cluster", help="abstraction pipeline (reduced or full)")
+    c.add_argument("--samples", type=int, default=4096)
+    c.add_argument("--k", type=int, default=64)
+    c.add_argument("--workdir", default="artifacts")
+
+    s = sub.add_parser("status")
+    s.add_argument("--workdir", default="artifacts")
+
+    r = sub.add_parser("reset")
+    r.add_argument("--workdir", default="artifacts")
+
+    l = sub.add_parser("litmus")
+    l.add_argument("--scenarios", default=None)
+    l.add_argument("--workdir", default="artifacts")
+
+    v = sub.add_parser("serve", help="HTTP strategy/training API (portal)")
+    v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--workdir", default="artifacts")
+
+    sub.add_parser("bench")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "train":
+        from .nlhe.forge import FastSession
+        from .nlhe.trainer import TrainerConfig
+
+        mesh = None
+        if args.mesh:
+            from .parallel import make_mesh
+
+            mesh = make_mesh(args.mesh)
+        session = FastSession(
+            workdir=args.workdir,
+            trainer=TrainerConfig(batch=args.batch, table_log2=args.table_log2),
+            mesh=mesh,
+        )
+        session.train(args.epochs)
+        return 0
+
+    if args.cmd == "cluster":
+        import jax
+
+        from .lloyd import cluster_flop, cluster_turn, sample_observations
+
+        key = jax.random.PRNGKey(0)
+        p4, b4 = sample_observations(key, args.samples, 4, rng_seed=0)
+        turn = cluster_turn(p4, b4, k=args.k, key=key)
+        print(f"turn: {turn.centroids.shape} centroids, "
+              f"{len(turn.assignment)} points")
+        p3, b3 = sample_observations(key, args.samples // 2, 3, rng_seed=1)
+        flop = cluster_flop(p3, b3, turn, k=args.k, key=key)
+        print(f"flop: {flop.centroids.shape} centroids")
+        out = pathlib.Path(args.workdir)
+        out.mkdir(parents=True, exist_ok=True)
+        import numpy as np
+
+        np.savez_compressed(
+            out / "abstraction.npz",
+            turn_centroids=turn.centroids, turn_metric=turn.metric,
+            flop_centroids=flop.centroids, flop_metric=flop.metric,
+        )
+        print(f"artifacts → {out/'abstraction.npz'}")
+        return 0
+
+    if args.cmd == "status":
+        from .nlhe.forge import status
+
+        print(json.dumps(status(args.workdir), indent=2))
+        return 0
+
+    if args.cmd == "reset":
+        from .nlhe.forge import reset
+
+        reset(args.workdir)
+        print("artifacts dropped")
+        return 0
+
+    if args.cmd == "litmus":
+        from .nlhe.forge import FastSession
+        from .serving import litmus
+        from .serving.policy import Blueprint
+
+        session = FastSession(workdir=args.workdir)
+        scen = args.scenarios or str(
+            pathlib.Path(__file__).parent / "serving" / "scenarios.json"
+        )
+        md, ok = litmus.run(Blueprint(session.table), scen)
+        print(md)
+        return 0 if ok else 1
+
+    if args.cmd == "serve":
+        from .nlhe.forge import FastSession
+        from .serving import api
+        from .serving.policy import Blueprint, Resolver
+
+        session = FastSession(workdir=args.workdir)
+        bp = Blueprint(session.table)
+        api.run(bp, Resolver(bp), workdir=args.workdir, port=args.port)
+        return 0
+
+    if args.cmd == "bench":
+        import runpy
+
+        runpy.run_path(
+            str(pathlib.Path(__file__).parent.parent / "bench.py"),
+            run_name="__main__",
+        )
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
