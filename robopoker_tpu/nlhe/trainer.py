@@ -333,49 +333,59 @@ def make_nlhe_step(
             cs3 = child_slot.reshape(W, N_COLS)
             cp3 = child_pos.reshape(W, N_COLS)
 
+            # Phase 1 — cheap: apply each column, scatter the *pre-roll*
+            # children into the compacted next worklist (rolling happens
+            # once for the whole level below, not once per column).
             def expand_col(col, carry):
-                (parent, pcol, ratio_in, reach, is_term, term_value,
-                 level_of, valid, next_states, next_tree, next_valid,
-                 next_slot) = carry
+                (parent, pcol, level_of, valid, next_states, next_tree,
+                 next_valid, next_slot, next_pr) = carry
                 m = jnp.take(ok3, col, axis=1)
                 cs = jnp.take(cs3, col, axis=1)
                 cp = jnp.take(cp3, col, axis=1)
                 st = G.apply_cols(
                     work_states, jnp.full(W, col, jnp.int32), MENU, m
                 )
-                st, rr = roll(st, table, walker, jax.random.fold_in(lkey, 10 + col))
-                term = G.turn_of(st) == G.TURN_TERMINAL
-                vv = G.settle(st)[:, walker]
-
                 csf = jnp.where(m, work_tree * CAP + cs, SPILL)
                 colf = jnp.zeros(W, jnp.int32) + col
                 parent = flat_scat(parent, csf, work_slot, SPILL)
                 pcol = flat_scat(pcol, csf, colf, SPILL)
-                ratio_in = flat_scat(ratio_in, csf, rr, SPILL)
-                reach = flat_scat(reach, csf, parent_reach * rr, SPILL)
-                is_term = flat_scat(is_term, csf, term, SPILL)
-                term_value = flat_scat(term_value, csf, vv, SPILL)
                 level_of = flat_scat(
                     level_of, csf, jnp.full(W, lvl + 1, jnp.int32), SPILL
                 )
                 valid = flat_scat(valid, csf, jnp.ones(W, bool), SPILL)
 
-                cpw = jnp.where(m & ~term, cp, W)
+                cpw = jnp.where(m, cp, W)
                 next_states = work_scat_state(next_states, cpw, st, W)
                 next_tree = work_scat(next_tree, cpw, work_tree, W)
                 next_valid = work_scat(next_valid, cpw, jnp.ones(W, bool), W)
                 next_slot = work_scat(next_slot, cpw, cs, W)
-                return (parent, pcol, ratio_in, reach, is_term, term_value,
-                        level_of, valid, next_states, next_tree, next_valid,
-                        next_slot)
+                next_pr = work_scat(next_pr, cpw, parent_reach, W)
+                return (parent, pcol, level_of, valid, next_states,
+                        next_tree, next_valid, next_slot, next_pr)
 
-            carry = (parent, pcol, ratio_in, reach, is_term, term_value,
-                     level_of, valid, work_states, work_tree,
-                     jnp.zeros(W, bool), jnp.zeros(W, jnp.int32))
-            (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-             valid, work_states, work_tree, work_valid, work_slot) = (
-                jax.lax.fori_loop(0, N_COLS, expand_col, carry)
+            carry = (parent, pcol, level_of, valid, work_states, work_tree,
+                     jnp.zeros(W, bool), jnp.zeros(W, jnp.int32),
+                     jnp.zeros(W, jnp.float32))
+            (parent, pcol, level_of, valid, next_states, next_tree,
+             next_valid, next_slot, next_pr) = jax.lax.fori_loop(
+                0, N_COLS, expand_col, carry
             )
+
+            # Phase 2 — one roll + settle for the whole level's children
+            st, rr = roll(next_states, table, walker,
+                          jax.random.fold_in(lkey, 77))
+            term = (G.turn_of(st) == G.TURN_TERMINAL) & next_valid
+            vv = G.settle(st)[:, walker]
+            csf = jnp.where(next_valid, next_tree * CAP + next_slot, SPILL)
+            ratio_in = flat_scat(ratio_in, csf, rr, SPILL)
+            reach = flat_scat(reach, csf, next_pr * rr, SPILL)
+            is_term = flat_scat(is_term, csf, term, SPILL)
+            term_value = flat_scat(term_value, csf, vv, SPILL)
+
+            work_states = st
+            work_tree = next_tree
+            work_valid = next_valid & ~term
+            work_slot = next_slot
             return (parent, pcol, ratio_in, reach, is_term, term_value,
                     level_of, valid, row_of, klo_of, khi_of, legal_of,
                     branch_of, n_slots, dropped, work_states, work_tree,

@@ -1,0 +1,114 @@
+"""Full/large-scale hierarchical abstraction build.
+
+The production counterpart of the reference's ``trainer --cluster``
+(ref: crates/forge/src/pretraining.rs, SURVEY §3.1): enumerate canonical
+observations per street with the native combinadic kernels, build
+feature histograms on the TPU, run the k-means pipeline in reverse
+street order, and persist artifacts + lookups.
+
+Scale is driven by --budget (canonical points per street); the full
+sweep (14M turn / 1.3M flop isos) is the same code at budget=0 (all).
+
+    python scripts/build_abstraction.py --budget 200000 --k 256 \
+        --out artifacts/abstraction
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def canonical_sample(n_board: int, budget: int, chunk: int = 1 << 16,
+                     seed: int = 0):
+    """Collect up to `budget` distinct canonical observations (or all if
+    budget == 0) by scanning the native enumeration in strided chunks."""
+    import jax.numpy as jnp
+
+    from robopoker_tpu import native
+    from robopoker_tpu.deuce.isomorphism import canonical_key
+
+    total = native.n_observations(n_board)
+    seen = {}
+    rng = np.random.default_rng(seed)
+    # random-origin strided scan: covers the space uniformly-ish without
+    # enumerating all observations when budget << total
+    n_chunks = max(1, min(total // chunk, 4096))
+    starts = (rng.integers(0, total, size=n_chunks)
+              if budget else np.arange(0, total, chunk))
+    t0 = time.time()
+    for i, s in enumerate(np.sort(starts)):
+        p, b = native.enumerate_observations(int(s), chunk, n_board)
+        words = np.asarray(canonical_key(jnp.asarray(p), jnp.asarray(b)))
+        keys = [tuple(w) for w in words]
+        for j, k in enumerate(keys):
+            if k not in seen:
+                seen[k] = (p[j], b[j])
+        if budget and len(seen) >= budget:
+            break
+        if i % 32 == 0:
+            print(f"  scan {i}/{len(starts)}: {len(seen)} canonical "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    items = list(seen.values())[: budget or None]
+    pockets = np.stack([x[0] for x in items]).astype(np.int32)
+    boards = np.stack([x[1] for x in items]).astype(np.int32)
+    print(f"street {n_board}-board: {len(items)} canonical points "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    return pockets, boards
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=int, default=100_000,
+                    help="canonical points per street (0 = exhaustive)")
+    ap.add_argument("--k", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--out", default="artifacts/abstraction")
+    args = ap.parse_args()
+
+    import jax
+
+    from robopoker_tpu.lloyd import cluster_flop, cluster_turn
+    from robopoker_tpu.pokerkit.hyperparams import KmeansHyperParams
+
+    hp = KmeansHyperParams(iterations=args.iters)
+    key = jax.random.PRNGKey(0)
+    out = pathlib.Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    print("== turn street ==", flush=True)
+    p4, b4 = canonical_sample(4, args.budget)
+    t0 = time.time()
+    turn = cluster_turn(p4, b4, k=args.k, key=key, chunk=args.chunk, hp=hp)
+    print(f"turn clustered in {time.time()-t0:.0f}s "
+          f"({turn.iterations} iters, drift {turn.drift:.2e})", flush=True)
+    np.savez_compressed(
+        out / "turn.npz", centroids=turn.centroids, metric=turn.metric,
+        assignment=turn.assignment,
+        lookup_key1=turn.lookup.key1, lookup_key2=turn.lookup.key2,
+        lookup_value=turn.lookup.value,
+    )
+
+    print("== flop street ==", flush=True)
+    p3, b3 = canonical_sample(3, args.budget // 2 if args.budget else 0)
+    t0 = time.time()
+    flop = cluster_flop(p3, b3, turn, k=args.k, key=key,
+                        chunk=max(args.chunk // 4, 256), hp=hp)
+    print(f"flop clustered in {time.time()-t0:.0f}s "
+          f"({flop.iterations} iters, drift {flop.drift:.2e})", flush=True)
+    np.savez_compressed(
+        out / "flop.npz", centroids=flop.centroids, metric=flop.metric,
+        assignment=flop.assignment,
+        lookup_key1=flop.lookup.key1, lookup_key2=flop.lookup.key2,
+        lookup_value=flop.lookup.value,
+    )
+    print(f"artifacts → {out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
