@@ -12,6 +12,7 @@ from .engine import (
 )
 from .sampling import (
     EXTERNAL_SAMPLING,
+    TARGETED_SAMPLING,
     PLURIBUS_SAMPLING,
     PRUNABLE_SAMPLING,
     SAMPLING_SCHEMES,
@@ -40,7 +41,7 @@ __all__ = [
     "Profile", "averaged", "exploration", "init_profile",
     "make_exploitability", "make_solve", "make_step", "regret_matching",
     "EXTERNAL_SAMPLING", "PLURIBUS_SAMPLING", "PRUNABLE_SAMPLING",
-    "SAMPLING_SCHEMES", "VANILLA_SAMPLING", "SamplingConfig",
+    "SAMPLING_SCHEMES", "TARGETED_SAMPLING", "VANILLA_SAMPLING", "SamplingConfig",
     "ASYMMETRIC_REGRET", "CONSTANT_WEIGHT", "DISCOUNTED_REGRET",
     "EXPONENTIAL_WEIGHT", "FLOORED_REGRET", "LINEAR_REGRET",
     "LINEAR_WEIGHT", "QUADRATIC_WEIGHT", "REGRET_SCHEDULES",

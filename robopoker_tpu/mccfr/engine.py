@@ -38,7 +38,7 @@ import numpy as np
 
 from ..pokerkit.constants import EPSILON
 from ..pokerkit.hyperparams import SamplingHyperParams, TrainingHyperParams
-from .sampling import PLURIBUS, PRUNABLE, VANILLA, SamplingConfig
+from .sampling import PLURIBUS, PRUNABLE, TARGETED, VANILLA, SamplingConfig
 from .schedules import RegretSchedule, WeightSchedule
 from .tree import CHANCE, TERMINAL, DenseTree
 
@@ -182,8 +182,13 @@ def make_step(
         # base games; posterior-weighted in subgame re-solves)
         clogits = jnp.where(S.branch_valid, jnp.log(jnp.maximum(S.chance_w, 1e-30)), -jnp.inf)
         chance_sel = jax.vmap(jax.random.categorical)(keys, clogits)
-        # opponent: categorical over exploration q
-        logits = jnp.where(S.branch_valid, jnp.log(jnp.maximum(q_pad, EPSILON)), -jnp.inf)
+        # opponent: categorical over exploration q (or the curiosity-
+        # floored current policy for TargetedSampling, ref: targeted.rs)
+        if sampling.scheme == TARGETED:
+            opp_dist = jnp.maximum(pi_pad, sampling_hp.curiosity) * S.branch_valid
+        else:
+            opp_dist = q_pad
+        logits = jnp.where(S.branch_valid, jnp.log(jnp.maximum(opp_dist, EPSILON)), -jnp.inf)
         opp_sel = jax.vmap(jax.random.categorical)(keys, logits)
         sel = jnp.where(S.kind == CHANCE, chance_sel, opp_sel)
         sampled = (jnp.arange(S.max_branch) == sel[:, None]) & S.branch_valid
@@ -194,9 +199,11 @@ def make_step(
         else:
             walker_mask = S.branch_valid
             if sampling.prunes:
-                keep = S.branch_valid & (
-                    S.child_terminal | (regret_pad > sampling.threshold)
-                )
+                above = regret_pad > sampling.threshold
+                if sampling.scheme == PLURIBUS:
+                    # pluribus never prunes pre-terminal actions
+                    above = above | S.child_terminal
+                keep = S.branch_valid & above
                 keep = jnp.where(keep.any(axis=1, keepdims=True), keep, S.branch_valid)
                 if sampling.scheme == PLURIBUS:
                     eu = jax.vmap(jax.random.uniform)(

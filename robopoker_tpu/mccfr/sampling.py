@@ -9,8 +9,10 @@ RNG keys it decides which branches of each node are "present" this epoch.
 - EXTERNAL  walker: all; chance: uniform-1; opponent: 1 drawn from the
   exploration distribution q (ref: external.rs:14-62)
 - VANILLA   everything present (full-tree traversal; ref: vanilla.rs)
+- TARGETED  opponents sampled from the current regret-matched policy
+  floored at curiosity, instead of the weight-based q (ref: targeted.rs)
 - PRUNABLE  deterministic regret-based pruning at walker nodes, no
-  warmup/exploration (ref: pruning.rs)
+  warmup/exploration and no pre-terminal exception (ref: pruning.rs)
 - PLURIBUS  warmup epochs → no pruning; 5% explore; never prune
   pre-terminal actions; prune cum_regret ≤ threshold; if all pruned,
   keep all (ref: pluribus.rs:70-101)
@@ -28,6 +30,7 @@ EXTERNAL = "external"
 VANILLA = "vanilla"
 PRUNABLE = "prunable"
 PLURIBUS = "pluribus"
+TARGETED = "targeted"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,10 +54,12 @@ EXTERNAL_SAMPLING = SamplingConfig(scheme=EXTERNAL)
 VANILLA_SAMPLING = SamplingConfig(scheme=VANILLA)
 PRUNABLE_SAMPLING = SamplingConfig(scheme=PRUNABLE)
 PLURIBUS_SAMPLING = SamplingConfig(scheme=PLURIBUS)
+TARGETED_SAMPLING = SamplingConfig(scheme=TARGETED)
 
 SAMPLING_SCHEMES = {
     EXTERNAL: EXTERNAL_SAMPLING,
     VANILLA: VANILLA_SAMPLING,
     PRUNABLE: PRUNABLE_SAMPLING,
     PLURIBUS: PLURIBUS_SAMPLING,
+    TARGETED: TARGETED_SAMPLING,
 }

@@ -46,7 +46,7 @@ import numpy as np
 
 from ..kicker import edges as E
 from ..kicker import game as G
-from ..mccfr.sampling import PLURIBUS, SamplingConfig
+from ..mccfr.sampling import PLURIBUS, TARGETED, SamplingConfig
 from ..mccfr.schedules import RegretSchedule, WeightSchedule
 from ..pokerkit.constants import EPSILON
 from ..pokerkit.hyperparams import SamplingHyperParams, TrainingHyperParams
@@ -169,6 +169,8 @@ def make_nlhe_step(
             row = slot_of(klo, khi, table.capacity)
             q = exploration_rows(table.weight[row], legal, sampling_hp)
             pi = regret_matching_rows(table.regret[row], legal)
+            if sampling.scheme == TARGETED:  # opponents follow current policy
+                q = jnp.where(legal, jnp.maximum(pi, sampling_hp.curiosity), 0.0)
             dist = jnp.where(is_opp[:, None], q, pi)
             logits = jnp.where(legal, jnp.log(jnp.maximum(dist, EPSILON)), -jnp.inf)
             kk = jax.random.fold_in(k_i, 7)
@@ -287,8 +289,11 @@ def make_nlhe_step(
 
             legal = legal & work_valid[:, None]
             if sampling.prunes:
-                ct = child_terminal_cols(work_states)
-                keep = legal & (ct | (regret_rows > sampling.threshold))
+                above = regret_rows > sampling.threshold
+                if sampling.scheme == PLURIBUS:
+                    # pluribus never prunes pre-terminal actions
+                    above = above | child_terminal_cols(work_states)
+                keep = legal & above
                 keep = jnp.where(keep.any(-1, keepdims=True), keep, legal)
                 if sampling.scheme == PLURIBUS:
                     eu = jax.random.uniform(jax.random.fold_in(lkey, 5), (W,))

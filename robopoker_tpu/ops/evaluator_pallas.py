@@ -1,0 +1,163 @@
+"""Pallas TPU kernel for batched hand-strength evaluation.
+
+The BASELINE north-star "vectorized rank kernel": the same category-
+parallel bitwise evaluation as robopoker_tpu.deuce.evaluator, written as
+an explicit Pallas kernel so the whole cascade runs register-resident on
+the VPU over (8,128)-tiled blocks with no intermediate HBM traffic. The
+jnp version already fuses well under XLA; this kernel exists to (a) pin
+the layout/tiling explicitly for the settle/bucket hot path and (b)
+serve as the template for further fused kernels (settle = evaluate +
+compare + pnl in one pass).
+
+Correctness contract: bit-identical to ``deuce.evaluator
+.strength_from_masks`` (tested in tests/test_ops.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..deuce.evaluator import (
+    FLUSH,
+    FOUR_OAK,
+    FULL_HOUSE,
+    HIGH_CARD,
+    ONE_PAIR,
+    STRAIGHT,
+    STRAIGHT_FLUSH,
+    THREE_OAK,
+    TWO_PAIR,
+    WHEEL,
+    WHEEL_HIGH,
+)
+
+BLOCK = 1024  # rows per grid step ((8,128)-aligned when viewed as 8x128)
+
+
+def _popcount(x):
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def _msb_index(x):
+    y = x
+    y = y | (y >> 1)
+    y = y | (y >> 2)
+    y = y | (y >> 4)
+    y = y | (y >> 8)
+    return _popcount(y) - 1
+
+
+def _top_k(mask, k):
+    out = mask
+    for _ in range(8):
+        out = jnp.where(_popcount(out) > k, out & (out - 1), out)
+    return out
+
+
+def _straight_high(ranks):
+    bits = ranks
+    bits = bits & (bits << 1)
+    bits = bits & (bits << 1)
+    bits = bits & (bits << 1)
+    bits = bits & (bits << 1)
+    hi = _msb_index(bits & 0x1FFF)
+    is_wheel = (ranks & WHEEL) == WHEEL
+    return jnp.where(hi >= 0, hi, jnp.where(is_wheel, WHEEL_HIGH, -1))
+
+
+def _strength_kernel(s_ref, out_ref):
+    s0 = s_ref[:, 0]
+    s1 = s_ref[:, 1]
+    s2 = s_ref[:, 2]
+    s3 = s_ref[:, 3]
+    ranks = s0 | s1 | s2 | s3
+    ge2 = (s0 & s1) | (s0 & s2) | (s0 & s3) | (s1 & s2) | (s1 & s3) | (s2 & s3)
+    ge3 = (s0 & s1 & s2) | (s0 & s1 & s3) | (s0 & s2 & s3) | (s1 & s2 & s3)
+    ge4 = s0 & s1 & s2 & s3
+
+    c0 = _popcount(s0)
+    has5 = jnp.stack(
+        [c0 >= 5, _popcount(s1) >= 5, _popcount(s2) >= 5, _popcount(s3) >= 5],
+        axis=-1,
+    )
+    suits = jnp.stack([s0, s1, s2, s3], axis=-1)
+    flush_mask = jnp.where(has5, suits, 0).sum(axis=-1)
+    has_flush = has5.any(axis=-1)
+
+    straight_hi = _straight_high(ranks)
+    sflush_hi = _straight_high(flush_mask)
+    quad = _msb_index(ge4)
+    trips = _msb_index(ge3)
+    p_hi = _msb_index(ge2)
+
+    def bit(r):
+        return jnp.where(r >= 0, 1 << jnp.maximum(r, 0), 0)
+
+    p_lo = _msb_index(ge2 & ~bit(p_hi))
+    fh_pair = _msb_index(ge2 & ~bit(trips))
+    flush_hi = _msb_index(flush_mask)
+    hc = _msb_index(ranks)
+    zero = jnp.zeros_like(ranks)
+
+    def pack(code, primary, secondary, kick):
+        return (code << 21) | (jnp.maximum(primary, 0) << 17) | \
+               (jnp.maximum(secondary, 0) << 13) | kick
+
+    out = pack(jnp.full_like(ranks, HIGH_CARD), hc, zero,
+               _top_k(ranks & ~bit(hc), 4))
+    out = jnp.where(p_hi >= 0, pack(
+        jnp.full_like(ranks, ONE_PAIR), p_hi, zero,
+        _top_k(ranks & ~bit(p_hi), 3)), out)
+    out = jnp.where(p_lo >= 0, pack(
+        jnp.full_like(ranks, TWO_PAIR), p_hi, p_lo,
+        _top_k(ranks & ~bit(p_hi) & ~bit(p_lo), 1)), out)
+    out = jnp.where(trips >= 0, pack(
+        jnp.full_like(ranks, THREE_OAK), trips, zero,
+        _top_k(ranks & ~bit(trips), 2)), out)
+    out = jnp.where(straight_hi >= 0, pack(
+        jnp.full_like(ranks, STRAIGHT), straight_hi, zero, zero), out)
+    out = jnp.where(has_flush, pack(
+        jnp.full_like(ranks, FLUSH), flush_hi, zero, zero), out)
+    out = jnp.where((trips >= 0) & (fh_pair >= 0), pack(
+        jnp.full_like(ranks, FULL_HOUSE), trips, fh_pair, zero), out)
+    out = jnp.where(quad >= 0, pack(
+        jnp.full_like(ranks, FOUR_OAK), quad, zero,
+        _top_k(ranks & ~bit(quad), 1)), out)
+    out = jnp.where(has_flush & (sflush_hi >= 0), pack(
+        jnp.full_like(ranks, STRAIGHT_FLUSH), sflush_hi, zero, zero), out)
+    out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _strength_pallas(suit_masks: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    n = suit_masks.shape[0]
+    pad = (-n) % BLOCK
+    x = jnp.pad(suit_masks, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _strength_kernel,
+        out_shape=jax.ShapeDtypeStruct((x.shape[0],), jnp.int32),
+        grid=(x.shape[0] // BLOCK,),
+        in_specs=[pl.BlockSpec((BLOCK, 4), lambda i: (i, 0),
+                               memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,),
+                               memory_space=pltpu.ANY),
+        interpret=interpret,
+    )(x)
+    return out[:n]
+
+
+def strength_pallas(suit_masks: jnp.ndarray) -> jnp.ndarray:
+    """[N, 4] int32 per-suit rank masks → [N] packed strength codes.
+
+    Compiles to Mosaic on TPU; interpreter mode on CPU test backends.
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _strength_pallas(suit_masks, interpret)
