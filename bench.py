@@ -23,7 +23,7 @@ def main():
     from robopoker_tpu.nlhe import TrainerConfig, init_table, make_nlhe_step, proxy_bucket
 
     cfg = TrainerConfig(
-        batch=128, level_cap=192, cap=1536, max_levels=8,
+        batch=256, work_cap=24576, cap=1536, max_levels=8,
         roll_steps=5, tail_steps=16, table_log2=20,
     )
     table = init_table(cfg.table_log2)

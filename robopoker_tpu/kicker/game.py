@@ -330,15 +330,22 @@ def deal_board(s: TableState, key: jnp.ndarray,
     used = used53[:, :52]
     u = jax.random.uniform(key, (b, 52))
     u = jnp.where(used, jnp.inf, u)
-    order = jnp.argsort(u, axis=1).astype(jnp.int8)  # fresh cards first
+    # draw ≤3 cards by repeated argmin extraction (a full 52-wide argsort
+    # per lane per roll substep dominated the trainer's lane cost)
+    draws = []
+    for _ in range(3):
+        pick = jnp.argmin(u, axis=1)
+        draws.append(pick.astype(jnp.int8))
+        u = u.at[jnp.arange(b), pick].set(jnp.inf)
+    order3 = jnp.stack(draws, axis=1)  # [b, 3] fresh cards in draw order
 
     n_now = STREET_REVEALED[s.street]
     n_next = STREET_REVEALED[jnp.minimum(s.street + 1, RIVER)]
     pos = jnp.arange(N_BOARD)[None, :]
     fill = (pos >= n_now[:, None]) & (pos < n_next[:, None]) & active[:, None]
-    # k-th new board slot takes order[k - n_now]
-    srcidx = jnp.clip(pos - n_now[:, None], 0, 4)
-    new_cards = jnp.take_along_axis(order, srcidx, axis=1)
+    # k-th new board slot takes order3[k - n_now]
+    srcidx = jnp.clip(pos - n_now[:, None], 0, 2)
+    new_cards = jnp.take_along_axis(order3, srcidx, axis=1)
     board = jnp.where(fill, new_cards, s.board)
 
     s2 = s._replace(
