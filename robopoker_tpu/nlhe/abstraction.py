@@ -69,16 +69,71 @@ def proxy_bucket(hole: jnp.ndarray, board: jnp.ndarray,
 
 
 class LookupBucket:
-    """k-means artifact lookup: canonical iso index → cluster id.
+    """Production bucket provider: trained k-means artifacts.
 
-    Holds per-street uint16 arrays produced by the lloyd pipeline. The
-    canonical index kernel lives in robopoker_tpu.deuce.isomorphism.
+    preflop → the 169 canonical classes; flop/turn → canonical-iso hash
+    → cluster lookup from the lloyd pipeline's tables; river → equity
+    proxy (the reference's exact 123M-row river table is a full-sweep
+    artifact — until that run lands, river falls back to
+    :func:`proxy_bucket`'s category features). Canonical classes missing
+    from a sampled artifact resolve to cluster 0; `coverage` reports the
+    miss rate for a batch of observations.
     """
 
-    def __init__(self, tables: dict):
-        self.tables = tables  # street -> jnp.ndarray[u16]
+    def __init__(self, flop_lookup=None, turn_lookup=None):
+        self.flop = flop_lookup
+        self.turn = turn_lookup
+
+    @classmethod
+    def load(cls, out_dir):
+        """Load artifacts written by scripts/build_abstraction.py."""
+        import pathlib
+
+        import numpy as np
+
+        from ..lloyd.lookup import IsoLookup
+
+        out = pathlib.Path(out_dir)
+
+        def one(name):
+            p = out / f"{name}.npz"
+            if not p.exists():
+                return None
+            with np.load(p) as z:
+                return IsoLookup(
+                    z["lookup_key1"], z["lookup_key2"], z["lookup_value"]
+                )
+
+        return cls(flop_lookup=one("flop"), turn_lookup=one("turn"))
 
     def __call__(self, hole, board, street):
-        raise NotImplementedError(
-            "wired up once the abstraction pipeline lands (lloyd)"
-        )
+        from ..deuce.isomorphism import canonical_key, hash_key
+        from ..lloyd.lookup import lookup_device
+
+        base = proxy_bucket(hole, board, street)
+        words = canonical_key(hole, board)
+        h1, h2 = hash_key(words)
+        out = base
+        if self.flop is not None:
+            cl = lookup_device(self.flop, h1, h2)
+            out = jnp.where(street == 1, (1 << 8) | jnp.clip(cl, 0, 255), out)
+        if self.turn is not None:
+            cl = lookup_device(self.turn, h1, h2)
+            out = jnp.where(street == 2, (2 << 8) | jnp.clip(cl, 0, 255), out)
+        return out
+
+    def coverage(self, hole, board, street) -> float:
+        """Fraction of observations resolved by a trained table."""
+        from ..deuce.isomorphism import canonical_key, hash_key
+        from ..lloyd.lookup import lookup_device
+
+        import numpy as np
+
+        words = canonical_key(hole, board)
+        h1, h2 = hash_key(words)
+        table = {1: self.flop, 2: self.turn}.get(int(street[0]) if hasattr(
+            street, "__getitem__") else int(street))
+        if table is None:
+            return 0.0
+        got = np.asarray(lookup_device(table, h1, h2, default=-1))
+        return float((got >= 0).mean())
