@@ -57,7 +57,9 @@ def sample_observations(key, n: int, n_board: int, rng_seed: int = 0):
 
 def dedupe_canonical(pocket: np.ndarray, board: np.ndarray):
     """Keep one representative per canonical class; return arrays + hashes."""
-    words = np.asarray(canonical_key(jnp.asarray(pocket), jnp.asarray(board)))
+    words = np.ascontiguousarray(
+        canonical_key(jnp.asarray(pocket), jnp.asarray(board))
+    )
     _, idx = np.unique(
         words.view([("", words.dtype)] * words.shape[1]).ravel(),
         return_index=True,

@@ -220,3 +220,23 @@ def test_turn_histograms_shape_and_mass():
     assert np.allclose(h.sum(axis=1), 1.0, atol=1e-5)
     # exactly 46 river children contribute
     assert (h > 0).sum(axis=1).max() <= 46
+
+
+def test_sinkhorn_between_exact_and_greedy():
+    # ref: crates/lloyd/src/heuristic.rs — greedy upper-bounds exact EMD;
+    # the debiased Sinkhorn divergence should track the exact cost closely
+    from robopoker_tpu.lloyd.heuristic import exact_emd, greedy_emd
+
+    rng = np.random.default_rng(7)
+    bins = 12
+    cost = _random_metric(rng, bins)
+    for _ in range(5):
+        h = _random_histograms(rng, 2, bins)
+        exact = exact_emd(h[0], h[1], cost)
+        greedy = greedy_emd(h[0], h[1], cost)
+        assert greedy >= exact - 1e-6
+        sink = float(sinkhorn_divergence(
+            jnp.asarray(h[0][None]), jnp.asarray(h[1][None]),
+            jnp.asarray(cost))[0])
+        # entropic bias at T=0.025 on [0,1]-scale metrics stays small
+        assert abs(sink - exact) < 0.05 + 0.25 * exact
