@@ -11,12 +11,17 @@ the ``adapt_leaf/adapt_safe/adapt_full`` entry points
   categorical, no rejection loop needed); infoset keys mix the world id
   so worlds accrue regret independently (WorldInfo, world/info.rs:15)
 - **depth frontier**: the first chance node past the origin ends the
-  rollout; its value is the blueprint's accumulated infoset EV at the
-  nearest decision ancestor (the reference's chance-frontier
-  terminal_value, ref: crates/mccfr/src/strategy/nash.rs:62-80),
-  sign-adjusted to the walker. (The L×L biased-continuation pick game —
-  adapt_full's frontier refinement — is a planned extension; this is the
-  reference's ``adapt_leaf`` configuration.)
+  rollout. Two configurations, selected by ``ResolveConfig.frontier_picks``:
+  *adapt_leaf* (default) values the frontier with the blueprint's
+  accumulated infoset EV at the nearest decision ancestor (the
+  reference's chance-frontier terminal_value, ref: crates/mccfr/src/
+  strategy/nash.rs:62-80), walker-signed; *adapt_full* plays the L×L
+  biased-continuation pick game (ref: crates/subgame/src/depth/*): both
+  players pick one of FRONTIER_LEAVES continuation styles (blueprint /
+  fold- / passive- / aggro-biased ×5), the payoff matrix is estimated by
+  biased Monte-Carlo rollouts through the blueprint to hand end (HOT
+  LOOP #4, ref: nlhe/src/encoder.rs:77-147), and the pick strategies
+  are themselves learned infosets in the local table
 - **warmstart read-through**: reads fall through to the frozen blueprint
   transformed by the iteration-agnostic warmstart (weight = σ̄·K(K+1)/2,
   regret = R·K/T_bp; ref: crates/mccfr/src/strategy/profile.rs:96-146);
@@ -59,6 +64,13 @@ class ResolveConfig:
     max_levels: int = 6
     roll_steps: int = 4
     table_log2: int = 14       # local table (subgame infosets are few)
+    # L×L frontier pick game (adapt_full; ref: subgame/src/depth/*):
+    # False = blueprint-EV leaves (adapt_leaf)
+    frontier_picks: bool = False
+    frontier_rollouts: int = 4     # MC rollouts per payoff cell (ref: 16)
+    frontier_roll_steps: int = 14  # biased-rollout depth to hand end
+    frontier_bias: float = 5.0     # bias multiplier (ref: hyperparams.rs)
+    n_picks: int = 4               # FRONTIER_LEAVES continuation styles
 
 
 def make_resolve_step(
@@ -118,6 +130,130 @@ def make_resolve_step(
         pay = blueprint.payoff[last_row]
         v = (pay * last_legal).sum(-1) / jnp.maximum(last_legal.sum(-1), 1)
         return jnp.where(last_actor == walker, v, -v)
+
+    # --- L×L continuation pick game (ref: subgame/src/depth/*) -------------
+    L = C.n_picks
+    PICK_LEGAL = jnp.arange(N_COLS) < L  # picks live on columns 0..L-1
+
+    # bias class per (continuation style, action column):
+    # 0 = raw blueprint, 1 = fold-biased, 2 = passive-biased, 3 = aggro
+    # (ref: continuation.rs + encoder.rs sample_biased)
+    BIAS_CLASS = np.zeros((4, N_COLS), bool)
+    BIAS_CLASS[1, E.COL_FOLD] = True
+    BIAS_CLASS[2, E.COL_CHECK] = BIAS_CLASS[2, E.COL_CALL] = True
+    BIAS_CLASS[3, E.COL_SHOVE] = True
+    BIAS_CLASS[3, E.COL_RAISE0:] = True
+    BIAS_CLASS = jnp.asarray(BIAS_CLASS)
+
+    def biased_roll(states, blueprint: InfoTable, internal_seat,
+                    bias_int, bias_ext, key):
+        """Both players play the blueprint σ̄ with continuation biases to
+        hand end; returns the internal player's terminal pnl
+        (ref: crates/nlhe/src/encoder.rs:77-147 biased_rollout)."""
+        n = states.pot.shape[0]
+
+        def body(i, st):
+            st = G.deal_board(st, jax.random.fold_in(key, i))
+            t = G.turn_of(st)
+            is_choice = t <= 1
+            klo, khi, _, legal = lookup(st, None)
+            row = slot_of(klo, khi, blueprint.capacity)
+            sigma = averaged(blueprint.weight[row], legal)
+            actor_bias = jnp.where(t == internal_seat, bias_int, bias_ext)
+            boost = BIAS_CLASS[jnp.clip(actor_bias, 0, 3)]  # [n, 9]
+            w = sigma * jnp.where(boost, C.frontier_bias, 1.0)
+            w = jnp.where(legal, w, 0.0)
+            logits = jnp.where(legal, jnp.log(jnp.maximum(w, EPSILON)), -jnp.inf)
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                jax.random.fold_in(key, 1000 + i), jnp.arange(n)
+            )
+            col = jax.vmap(jax.random.categorical)(keys, logits)
+            return G.apply_cols(st, col, MENU, is_choice)
+
+        st = jax.lax.fori_loop(0, C.frontier_roll_steps, body, states)
+        st = G.deal_board(st, jax.random.fold_in(key, 9999))
+        pnl = G.settle(st)
+        return jnp.take_along_axis(
+            pnl, jnp.broadcast_to(internal_seat, (n,))[:, None], axis=1
+        )[:, 0]
+
+    def pick_rows(states, world, phase):
+        """Local-table rows for pick infosets: frontier identity + phase
+        marker (1 = internal pick, 2 = external pick), world-mixed like
+        every other subgame infoset (WorldInfo over DepthInfo)."""
+        klo, khi, wlo, _ = lookup(states, world)
+        plo = wlo ^ (jnp.int32(0x51C3) * jnp.int32(phase + 1))
+        return slot_of(plo, khi, 1 << C.table_log2)
+
+    def frontier_picks_value(states, frontier, world, reach_here, walker,
+                             local, blueprint, hero_seat, key, acc):
+        """Value of frontier lanes under the L×L pick game + local-table
+        regret/weight deltas for the walker's pick infosets.
+
+        acc = (rdelta, touched, occ, counts) over [T+1] pick rows.
+        Returns (value [n] walker-perspective, acc').
+        """
+        n = states.pot.shape[0]
+        T = 1 << C.table_log2
+        r_int = pick_rows(states, world, 1)
+        r_ext = pick_rows(states, world, 2)
+        walker_is_int = walker == hero_seat
+
+        # opponent's pick: sampled from its exploration distribution
+        opp_row = jnp.where(walker_is_int, r_ext, r_int)
+        own_row = jnp.where(walker_is_int, r_int, r_ext)
+        q_opp = exploration_rows(local.weight[opp_row], PICK_LEGAL[None, :],
+                                 sampling_hp)
+        pi_opp = regret_matching_rows(local.regret[opp_row], PICK_LEGAL[None, :])
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.fold_in(key, 31337), jnp.arange(n)
+        )
+        logits = jnp.where(PICK_LEGAL[None, :],
+                           jnp.log(jnp.maximum(q_opp, EPSILON)), -jnp.inf)
+        opp_pick = jax.vmap(jax.random.categorical)(keys, logits)
+        opp_ratio = (
+            jnp.take_along_axis(pi_opp, opp_pick[:, None], 1)[:, 0]
+            / jnp.maximum(
+                jnp.take_along_axis(q_opp, opp_pick[:, None], 1)[:, 0], EPSILON)
+        )
+
+        # payoff cells for the walker's own 4 picks: [n, L] means over R
+        # biased rollouts each (internal-perspective values)
+        R = C.frontier_rollouts
+        reps = L * R
+        big = jax.tree.map(
+            lambda a: jnp.repeat(a, reps, axis=0), states
+        )  # [n*L*R, ...]
+        cell = jnp.tile(jnp.repeat(jnp.arange(L), R), n)          # own pick
+        opp_big = jnp.repeat(opp_pick, reps)
+        wint = jnp.repeat(jnp.full(n, 0, jnp.int32) + walker_is_int.astype(jnp.int32), reps)
+        bias_int = jnp.where(wint == 1, cell, opp_big)
+        bias_ext = jnp.where(wint == 1, opp_big, cell)
+        pnl_int = biased_roll(
+            big, blueprint, jnp.repeat(jnp.full(n, hero_seat, jnp.int32), reps),
+            bias_int, bias_ext, jax.random.fold_in(key, 77777),
+        )
+        P = pnl_int.reshape(n, L, R).mean(-1)                     # [n, L]
+        vals = jnp.where(walker_is_int, P, -P)                    # walker sign
+        vals = vals * opp_ratio[:, None]
+        vals = jnp.pad(vals, ((0, 0), (0, N_COLS - L)))
+
+        # walker's pick policy from the local table
+        pi_own = regret_matching_rows(local.regret[own_row], PICK_LEGAL[None, :])
+        v = (pi_own * vals).sum(-1)
+
+        # deltas for the walker's pick infoset
+        rd, tc, oc, ct = acc
+        rows = jnp.where(frontier, own_row, T)
+        contrib = jnp.where(
+            frontier[:, None] & PICK_LEGAL[None, :],
+            reach_here[:, None] * (vals - v[:, None]), 0.0,
+        )
+        rd = rd.at[rows].add(contrib)
+        tc = tc.at[rows].max(frontier[:, None] & PICK_LEGAL[None, :])
+        oc = oc.at[rows].max(frontier)
+        ct = ct.at[rows].add(frontier.astype(jnp.int32))
+        return v, (rd, tc, oc, ct)
 
     def roll(states, local, blueprint, world, walker, t_bp, key,
              init_last=None):
@@ -216,19 +352,39 @@ def make_resolve_step(
         valid = jnp.zeros((B, CAP), bool)
         n_slots = jnp.zeros(B, jnp.int32)
 
-        def terminalize(states, ratio, frontier, fval, walker):
+        # pick-infoset delta accumulators (L×L frontier game; row T = spill)
+        T_local = 1 << C.table_log2
+        acc = (
+            jnp.zeros((T_local + 1, N_COLS), jnp.float32),
+            jnp.zeros((T_local + 1, N_COLS), bool),
+            jnp.zeros(T_local + 1, bool),
+            jnp.zeros(T_local + 1, jnp.int32),
+        )
+
+        def terminalize(states, ratio, frontier, fval, walker, reach_here,
+                        world_lanes, fkey, acc):
             tt = G.turn_of(states)
             is_t = (tt == G.TURN_TERMINAL) | frontier
             pnl = G.settle(states)
-            v = jnp.where(frontier, fval, pnl[:, walker])
-            return is_t, v
+            if C.frontier_picks:
+                pv, acc = frontier_picks_value(
+                    states, frontier, world_lanes, reach_here, walker,
+                    local, blueprint, hero_seat, fkey, acc,
+                )
+                v = jnp.where(frontier, pv, pnl[:, walker])
+            else:
+                v = jnp.where(frontier, fval, pnl[:, walker])
+            return is_t, v, acc
 
         # head may itself be the walker's node or a villain node: roll first
         roots, r0, f0, fv0, *_ = roll(
             roots, local, blueprint, world_broadcast(world, 1), walker, t_bp,
             jax.random.fold_in(ekey, 3),
         )
-        is_t0, v0 = terminalize(roots, r0, f0, fv0, walker)
+        is_t0, v0, acc = terminalize(
+            roots, r0, f0, fv0, walker, r0, world,
+            jax.random.fold_in(ekey, 4), acc,
+        )
         parent = parent.at[:, 0].set(-1)
         ratio_in = ratio_in.at[:, 0].set(r0)
         reach = reach.at[:, 0].set(r0)
@@ -254,7 +410,7 @@ def make_resolve_step(
         def level_body(lvl, lcarry):
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
              valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
-             level_states, level_valid, level_slot) = lcarry
+             level_states, level_valid, level_slot, acc) = lcarry
             lkey = jax.random.fold_in(ekey, 100 + lvl)
             wflat = level_world.reshape(N)
             regret, weight, legal, lc_row, bp_row = read_rows(
@@ -283,7 +439,8 @@ def make_resolve_step(
 
             def expand_col(col, carry):
                 (parent, pcol, ratio_in, reach, is_term, term_value,
-                 level_of, valid, next_states, next_valid, next_slot) = carry
+                 level_of, valid, next_states, next_valid, next_slot,
+                 acc) = carry
                 m = jnp.take(ok3, col, axis=2)
                 cs = jnp.take(cs3, col, axis=2)
                 cl = jnp.take(cl3, col, axis=2)
@@ -295,7 +452,11 @@ def make_resolve_step(
                     jax.random.fold_in(lkey, 10 + col),
                     init_last=(bp_row, jnp.full(N, 0, jnp.int32) + walker, legal),
                 )
-                is_t, vv = terminalize(st, rr, fr, fv, walker)
+                is_t, vv, acc = terminalize(
+                    st, rr, fr, fv, walker,
+                    parent_reach.reshape(N) * rr, wflat,
+                    jax.random.fold_in(lkey, 200 + col), acc,
+                )
                 rr = rr.reshape(B, LC)
                 term = is_t.reshape(B, LC)
                 vv = vv.reshape(B, LC)
@@ -315,18 +476,19 @@ def make_resolve_step(
                 next_valid = _scat(next_valid, clc, jnp.ones((B, LC), bool))
                 next_slot = _scat(next_slot, clc, cs)
                 return (parent, pcol, ratio_in, reach, is_term, term_value,
-                        level_of, valid, next_states, next_valid, next_slot)
+                        level_of, valid, next_states, next_valid, next_slot,
+                        acc)
 
             carry = (parent, pcol, ratio_in, reach, is_term, term_value,
                      level_of, valid, level_states,
-                     jnp.zeros((B, LC), bool), jnp.zeros((B, LC), jnp.int32))
+                     jnp.zeros((B, LC), bool), jnp.zeros((B, LC), jnp.int32),
+                     acc)
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-             valid, level_states, level_valid, level_slot) = jax.lax.fori_loop(
-                0, N_COLS, expand_col, carry
-            )
+             valid, level_states, level_valid, level_slot,
+             acc) = jax.lax.fori_loop(0, N_COLS, expand_col, carry)
             return (parent, pcol, ratio_in, reach, is_term, term_value,
                     level_of, valid, lrow_of, legal_of, branch_of, regret_of,
-                    n_slots, level_states, level_valid, level_slot)
+                    n_slots, level_states, level_valid, level_slot, acc)
 
         def level_cond(carry):
             lvl, lcarry = carry
@@ -338,12 +500,12 @@ def make_resolve_step(
 
         _, (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
             valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
-            level_states, level_valid, level_slot) = jax.lax.while_loop(
+            level_states, level_valid, level_slot, acc) = jax.lax.while_loop(
             level_cond, level_wbody,
             (jnp.int32(0),
              (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
               valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
-              level_states, level_valid, level_slot)),
+              level_states, level_valid, level_slot, acc)),
         )
 
         # surviving deep lines: treat as frontier via their stored regrets
@@ -393,6 +555,15 @@ def make_resolve_step(
             pdelta_slot.reshape(-1))[:T]
         counts = jnp.zeros(T + 1, jnp.int32).at[rows_flat].add(
             upd.reshape(-1).astype(jnp.int32))[:T]
+
+        # merge the L×L pick-infoset deltas (no blueprint warmstart there)
+        if C.frontier_picks:
+            rd_p, tc_p, oc_p, ct_p = acc
+            rdelta = rdelta + rd_p[:T]
+            touched = touched | tc_p[:T]
+            occ = occ | oc_p[:T]
+            legal_tab = legal_tab | (oc_p[:T][:, None] & PICK_LEGAL[None, :])
+            counts = counts + ct_p[:T]
         # cumulative base for unseeded rows = warmstart values
         warm_r = jnp.zeros((T + 1, N_COLS), jnp.float32).at[rows_flat].max(
             jnp.where(upd[:, :, None], regret_of, -jnp.inf).reshape(-1, N_COLS)

@@ -85,8 +85,7 @@ def main():
     p4, b4 = canonical_sample(4, args.budget)
     t0 = time.time()
     turn = cluster_turn(p4, b4, k=args.k, key=key, chunk=args.chunk, hp=hp)
-    print(f"turn clustered in {time.time()-t0:.0f}s "
-          f"({turn.iterations} iters, drift {turn.drift:.2e})", flush=True)
+    print(f"turn clustered in {time.time()-t0:.0f}s", flush=True)
     np.savez_compressed(
         out / "turn.npz", centroids=turn.centroids, metric=turn.metric,
         assignment=turn.assignment,
@@ -99,8 +98,7 @@ def main():
     t0 = time.time()
     flop = cluster_flop(p3, b3, turn, k=args.k, key=key,
                         chunk=max(args.chunk // 4, 256), hp=hp)
-    print(f"flop clustered in {time.time()-t0:.0f}s "
-          f"({flop.iterations} iters, drift {flop.drift:.2e})", flush=True)
+    print(f"flop clustered in {time.time()-t0:.0f}s", flush=True)
     np.savez_compressed(
         out / "flop.npz", centroids=flop.centroids, metric=flop.metric,
         assignment=flop.assignment,

@@ -122,3 +122,31 @@ def test_resolve_step_and_blend(blueprint):
     assert (pol >= 0).all()
     # illegal columns carry no mass (preflop open spot: no check=col1)
     assert pol[1] == 0.0
+
+
+def test_resolve_with_frontier_picks(blueprint):
+    # adapt_full: the L×L biased-continuation pick game at depth frontiers
+    head = root(jax.random.PRNGKey(5), 1)
+    probs = np.full(1326, 1.0 / 1326, np.float32)
+    world = belief_partition(probs, 4)
+    ww = world_weights(probs, world, 4)
+    cfg = ResolveConfig(batch=8, level_cap=16, cap=64, max_levels=2,
+                        roll_steps=3, table_log2=12,
+                        frontier_picks=True, frontier_rollouts=2,
+                        frontier_roll_steps=10)
+    step = make_resolve_step(proxy_bucket, cfg)
+    local = init_table(12)
+    for _ in range(2):
+        local = step(
+            local, blueprint, head, jnp.int32(0), jnp.asarray(probs),
+            jnp.asarray(world), jnp.asarray(ww), jax.random.PRNGKey(4),
+        )
+    assert int(local.epoch) == 2
+    r = np.asarray(local.regret)
+    assert np.isfinite(r).all()
+    assert (np.abs(r).sum(axis=1) > 0).sum() > 0
+    # pick infosets live on the first 4 columns only: rows whose regret
+    # mass sits entirely in cols 0..3 with cols 4+ zero exist
+    mass_lo = np.abs(r[:, :4]).sum(axis=1)
+    mass_hi = np.abs(r[:, 4:]).sum(axis=1)
+    assert ((mass_lo > 0) & (mass_hi == 0)).any()
