@@ -437,55 +437,74 @@ def make_resolve_step(
             cs3 = child_slot.reshape(B, LC, N_COLS)
             cl3 = child_lpos.reshape(B, LC, N_COLS)
 
+            # Phase 1 — cheap: apply each column and scatter pre-roll
+            # children into the next level buffer (single consolidated
+            # roll below instead of one roll per column)
+            bp_row2 = bp_row.reshape(B, LC)
+            legal3 = legal.reshape(B, LC, N_COLS)
+
             def expand_col(col, carry):
-                (parent, pcol, ratio_in, reach, is_term, term_value,
-                 level_of, valid, next_states, next_valid, next_slot,
-                 acc) = carry
+                (parent, pcol, level_of, valid, next_states, next_valid,
+                 next_slot, next_pr, next_bprow, next_plegal) = carry
                 m = jnp.take(ok3, col, axis=2)
                 cs = jnp.take(cs3, col, axis=2)
                 cl = jnp.take(cl3, col, axis=2)
                 st = G.apply_cols(
                     level_states, jnp.full(N, col, jnp.int32), MENU, m.reshape(N)
                 )
-                st, rr, fr, fv, *_ = roll(
-                    st, local, blueprint, wflat, walker, t_bp,
-                    jax.random.fold_in(lkey, 10 + col),
-                    init_last=(bp_row, jnp.full(N, 0, jnp.int32) + walker, legal),
-                )
-                is_t, vv, acc = terminalize(
-                    st, rr, fr, fv, walker,
-                    parent_reach.reshape(N) * rr, wflat,
-                    jax.random.fold_in(lkey, 200 + col), acc,
-                )
-                rr = rr.reshape(B, LC)
-                term = is_t.reshape(B, LC)
-                vv = vv.reshape(B, LC)
-
                 csc = jnp.where(m, cs, CAP)
                 parent = _scat(parent, csc, sl)
                 pcol = _scat(pcol, csc, jnp.zeros((B, LC), jnp.int32) + col)
-                ratio_in = _scat(ratio_in, csc, rr)
-                reach = _scat(reach, csc, parent_reach * rr)
-                is_term = _scat(is_term, csc, term)
-                term_value = _scat(term_value, csc, vv)
                 level_of = _scat(level_of, csc, jnp.full((B, LC), lvl + 1, jnp.int32))
                 valid = _scat(valid, csc, jnp.ones((B, LC), bool))
 
-                clc = jnp.where(m & ~term, cl, LC)
+                clc = jnp.where(m, cl, LC)
                 next_states = _scat_state(next_states, clc, st, B, LC)
                 next_valid = _scat(next_valid, clc, jnp.ones((B, LC), bool))
                 next_slot = _scat(next_slot, clc, cs)
-                return (parent, pcol, ratio_in, reach, is_term, term_value,
-                        level_of, valid, next_states, next_valid, next_slot,
-                        acc)
+                next_pr = _scat(next_pr, clc, parent_reach)
+                # frontier backstop: each child carries its parent's infoset
+                next_bprow = _scat(next_bprow, clc, bp_row2)
+                next_plegal = _scat(next_plegal, clc, legal3)
+                return (parent, pcol, level_of, valid, next_states,
+                        next_valid, next_slot, next_pr, next_bprow,
+                        next_plegal)
 
-            carry = (parent, pcol, ratio_in, reach, is_term, term_value,
-                     level_of, valid, level_states,
+            carry = (parent, pcol, level_of, valid, level_states,
                      jnp.zeros((B, LC), bool), jnp.zeros((B, LC), jnp.int32),
-                     acc)
-            (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-             valid, level_states, level_valid, level_slot,
-             acc) = jax.lax.fori_loop(0, N_COLS, expand_col, carry)
+                     jnp.zeros((B, LC), jnp.float32),
+                     jnp.zeros((B, LC), jnp.int32),
+                     jnp.zeros((B, LC, N_COLS), bool))
+            (parent, pcol, level_of, valid, next_states, next_valid,
+             next_slot, next_pr, next_bprow, next_plegal) = jax.lax.fori_loop(
+                0, N_COLS, expand_col, carry
+            )
+
+            # Phase 2 — one roll + terminalize for all the level's children
+            st, rr, fr, fv, *_ = roll(
+                next_states, local, blueprint, wflat, walker, t_bp,
+                jax.random.fold_in(lkey, 77),
+                init_last=(next_bprow.reshape(N),
+                           jnp.full(N, 0, jnp.int32) + walker,
+                           next_plegal.reshape(N, N_COLS)),
+            )
+            is_t, vv, acc = terminalize(
+                st, rr, fr, fv, walker,
+                next_pr.reshape(N) * rr, wflat,
+                jax.random.fold_in(lkey, 200), acc,
+            )
+            rr2 = rr.reshape(B, LC)
+            term = is_t.reshape(B, LC)
+            vv2 = vv.reshape(B, LC)
+            csc2 = jnp.where(next_valid, next_slot, CAP)
+            ratio_in = _scat(ratio_in, csc2, rr2)
+            reach = _scat(reach, csc2, next_pr * rr2)
+            is_term = _scat(is_term, csc2, term)
+            term_value = _scat(term_value, csc2, vv2)
+
+            level_states = st
+            level_valid = next_valid & ~term
+            level_slot = next_slot
             return (parent, pcol, ratio_in, reach, is_term, term_value,
                     level_of, valid, lrow_of, legal_of, branch_of, regret_of,
                     n_slots, level_states, level_valid, level_slot, acc)
