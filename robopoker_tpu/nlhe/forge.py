@@ -84,18 +84,23 @@ class FastSession:
         interrupt.install()
         last_flush = time.monotonic()
         n = 0
+        import jax.numpy as jnp
+
+        sum_pos = jax.jit(lambda r: jnp.maximum(r, 0.0).sum())
         while epochs is None or n < epochs:
             self.table, m = self.step(self.table, self.key)
             n += 1
             self.metrics.inc("mccfr_steps")
             self.metrics.inc("mccfr_nodes", int(m["nodes"]))
             self.metrics.inc("mccfr_infos", int(m["touched_rows"]))
-            self.metrics.set(
-                "mccfr_sum_regret",
-                float(np.maximum(np.asarray(self.table.regret), 0).sum())
-                / max(int(self.table.epoch), 1),
-            )
-            self.metrics.maybe_log()
+            if self.metrics.maybe_log() is not None:
+                # sum-regret reduces on device; only the scalar crosses the
+                # (slow) host link, and only at log cadence
+                self.metrics.set(
+                    "mccfr_sum_regret",
+                    float(sum_pos(self.table.regret))
+                    / max(int(self.table.epoch), 1),
+                )
             if time.monotonic() - last_flush > self.training_hp.flush_interval_s:
                 self.snapshot()
                 last_flush = time.monotonic()

@@ -482,40 +482,76 @@ def make_nlhe_step(
             touched = jax.lax.psum(touched.astype(jnp.int32), axis_name) > 0
             occ = jax.lax.psum(occ.astype(jnp.int32), axis_name) > 0
             legal_tab = jax.lax.psum(legal_tab.astype(jnp.int32), axis_name) > 0
+            # every replica must apply every shard's touched rows or the
+            # replicated table diverges
+            rows_flat = jax.lax.all_gather(rows_flat, axis_name).reshape(-1)
+            upd_bc = jax.lax.all_gather(upd.reshape(-1), axis_name).reshape(-1)
+            klo_bc = jax.lax.all_gather(klo_of.reshape(-1), axis_name).reshape(-1)
+            khi_bc = jax.lax.all_gather(khi_of.reshape(-1), axis_name).reshape(-1)
+        else:
+            upd_bc = upd.reshape(-1)
+            klo_bc = klo_of.reshape(-1)
+            khi_bc = khi_of.reshape(-1)
 
-        # --- apply schedules ----------------------------------------------
-        pi_tab = regret_matching_rows(table.regret, legal_tab)
-        regret = jnp.where(
-            touched,
-            regret_schedule.gain(table.regret, rdelta, t, training_hp.regret_min),
-            table.regret,
+        # --- apply schedules on the touched-row SUBSET --------------------
+        # the epoch touches ≤ B*CAP rows; gather-modify-scatter over that
+        # subset keeps table-update traffic independent of table size
+        # (whole-table where() applies cost ~400MB/step at 2^21 rows).
+        # Duplicate subset indices write identical values, so .set is safe.
+        rows = jnp.minimum(rows_flat, T - 1)
+        live = rows_flat < T
+        sub_tc = touched[rows] & live[:, None]
+        sub_oc = occ[rows] & live
+        sub_legal = legal_tab[rows]
+        sub_counts = counts[rows]
+        sub_regret = table.regret[rows]
+        sub_pi = regret_matching_rows(sub_regret, sub_legal)
+
+        new_regret = jnp.where(
+            sub_tc,
+            regret_schedule.gain(sub_regret, rdelta[rows], t,
+                                 training_hp.regret_min),
+            sub_regret,
         )
-        occ_edge = occ[:, None] & legal_tab
-        weight = jnp.where(
+        regret = table.regret.at[rows].set(
+            jnp.where(live[:, None], new_regret, sub_regret)
+        )
+        occ_edge = sub_oc[:, None] & sub_legal
+        sub_weight = table.weight[rows]
+        new_weight = jnp.where(
             occ_edge,
             weight_schedule.learn(
-                table.weight, pi_tab * counts[:, None].astype(jnp.float32), t
+                sub_weight, sub_pi * sub_counts[:, None].astype(jnp.float32), t
             ),
-            table.weight,
+            sub_weight,
         )
-        payoff = jnp.where(
+        weight = table.weight.at[rows].set(
+            jnp.where(live[:, None], new_weight, sub_weight)
+        )
+        sub_payoff = table.payoff[rows]
+        sub_visits = table.visits[rows]
+        new_payoff = jnp.where(
             occ_edge,
-            table.payoff
-            + (pdelta[:, None] / jnp.maximum(counts, 1)[:, None] - table.payoff)
-            / (table.visits + 1)[:, None].astype(jnp.float32),
-            table.payoff,
+            sub_payoff
+            + (pdelta[rows][:, None] / jnp.maximum(sub_counts, 1)[:, None]
+               - sub_payoff)
+            / (sub_visits + 1)[:, None].astype(jnp.float32),
+            sub_payoff,
         )
-        visits = table.visits + jnp.where(occ, counts, 0)
+        payoff = table.payoff.at[rows].set(
+            jnp.where(live[:, None], new_payoff, sub_payoff)
+        )
+        visits = table.visits.at[rows].set(
+            jnp.where(live & sub_oc, sub_visits + sub_counts, sub_visits)
+        )
 
         # record keys for collision auditing (last-writer wins)
-        key_lo = jnp.zeros(T + 1, jnp.int32).at[rows_flat].max(
-            jnp.where(upd, klo_of, jnp.int32(-(1 << 31))).reshape(-1)
-        )[:T]
-        key_hi = jnp.zeros(T + 1, jnp.int32).at[rows_flat].max(
-            jnp.where(upd, khi_of, jnp.int32(-(1 << 31))).reshape(-1)
-        )[:T]
-        key_lo = jnp.where(occ, key_lo, table.key_lo)
-        key_hi = jnp.where(occ, key_hi, table.key_hi)
+        key_lo = table.key_lo.at[rows].set(
+            jnp.where(live & sub_oc & upd_bc, klo_bc, table.key_lo[rows])
+        )
+        key_hi = table.key_hi.at[rows].set(
+            jnp.where(live & sub_oc & upd_bc, khi_bc, table.key_hi[rows])
+        )
 
         new_table = InfoTable(
             regret=regret, weight=weight, payoff=payoff, visits=visits,
