@@ -143,3 +143,26 @@ def test_http_api(blueprint):
             await client.close()
 
         loop.run_until_complete(drive())
+
+
+def test_records_roundtrip_and_aivat_bridge(blueprint, tmp_path):
+    from robopoker_tpu.serving.records import HandLog, from_wire, to_aivat, to_wire
+
+    agents = [Agent(blueprint, use_dirac=False, seed=s) for s in (2, 3)]
+    engine = Engine(agents, seed=9)
+    log = HandLog(tmp_path / "hands.jsonl")
+    for i in range(3):
+        log.append(engine.play_hand(i), i)
+    loaded = log.load()
+    assert len(loaded) == 3
+    assert np.allclose(loaded[0].pnl.sum(), 0.0)
+
+    # replay-reconstruct for AIVAT: actors annotated, bb-scaled winnings
+    recs = [to_aivat(r, hero_seat=0) for r in loaded]
+    assert all(isinstance(r.chips_won, float) for r in recs)
+    a = Aivat(blueprint.table, __import__(
+        "robopoker_tpu.nlhe.abstraction", fromlist=["proxy_bucket"]
+    ).proxy_bucket)
+    delta = a.evaluate(recs)
+    assert delta.n_hands == 3
+    assert np.isfinite(delta.aivat_mean)
