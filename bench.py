@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from robopoker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from robopoker_tpu.mccfr import LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING
     from robopoker_tpu.nlhe import TrainerConfig, init_table, make_nlhe_step, proxy_bucket
 

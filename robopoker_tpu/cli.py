@@ -24,6 +24,9 @@ import sys
 
 
 def main(argv=None):
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(prog="robopoker_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -32,36 +32,52 @@ def canonical_sample(n_board: int, budget: int, chunk: int = 1 << 16,
     from robopoker_tpu import native
     from robopoker_tpu.deuce.isomorphism import canonical_key
 
+    from robopoker_tpu.deuce.isomorphism import hash_key
+
     total = native.n_observations(n_board)
-    seen = {}
     rng = np.random.default_rng(seed)
     # random-origin strided scan: covers the space uniformly-ish without
     # enumerating all observations when budget << total
-    n_chunks = max(1, min(total // chunk, 4096))
-    starts = (rng.integers(0, total, size=n_chunks)
+    n_chunks = max(1, min(total // chunk, 65536))
+    starts = (np.sort(rng.integers(0, total, size=n_chunks))
               if budget else np.arange(0, total, chunk))
     t0 = time.time()
-    for i, s in enumerate(np.sort(starts)):
+    seen_hashes = np.empty(0, np.int64)
+    pockets_acc, boards_acc = [], []
+    count = 0
+    for i, s in enumerate(starts):
         p, b = native.enumerate_observations(int(s), chunk, n_board)
-        words = np.asarray(canonical_key(jnp.asarray(p), jnp.asarray(b)))
-        keys = [tuple(w) for w in words]
-        for j, k in enumerate(keys):
-            if k not in seen:
-                seen[k] = (p[j], b[j])
-        if budget and len(seen) >= budget:
+        words = jnp.asarray(
+            canonical_key(jnp.asarray(p), jnp.asarray(b))
+        )
+        h1, h2 = hash_key(words)
+        h = (np.asarray(h1).astype(np.int64) << 32) | (
+            np.asarray(h2).astype(np.int64) & 0xFFFFFFFF
+        )
+        # vectorized two-stage dedupe: within-chunk then vs accumulated
+        uniq, idx = np.unique(h, return_index=True)
+        fresh = ~np.isin(uniq, seen_hashes, assume_unique=False)
+        keep = idx[fresh]
+        seen_hashes = np.concatenate([seen_hashes, uniq[fresh]])
+        pockets_acc.append(p[keep])
+        boards_acc.append(b[keep])
+        count += len(keep)
+        if budget and count >= budget:
             break
-        if i % 32 == 0:
-            print(f"  scan {i}/{len(starts)}: {len(seen)} canonical "
+        if i % 64 == 0:
+            print(f"  scan {i}/{len(starts)}: {count} canonical "
                   f"({time.time()-t0:.0f}s)", flush=True)
-    items = list(seen.values())[: budget or None]
-    pockets = np.stack([x[0] for x in items]).astype(np.int32)
-    boards = np.stack([x[1] for x in items]).astype(np.int32)
-    print(f"street {n_board}-board: {len(items)} canonical points "
+    pockets = np.concatenate(pockets_acc)[: budget or None].astype(np.int32)
+    boards = np.concatenate(boards_acc)[: budget or None].astype(np.int32)
+    print(f"street {n_board}-board: {len(pockets)} canonical points "
           f"({time.time()-t0:.0f}s)", flush=True)
     return pockets, boards
 
 
 def main():
+    from robopoker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget", type=int, default=100_000,
                     help="canonical points per street (0 = exhaustive)")
