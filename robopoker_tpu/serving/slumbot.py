@@ -147,3 +147,146 @@ class Runtime:
         for i, s in enumerate(self.sessions):
             out[f"session_{i}"] = s.benchmark.summary()
         return out
+
+
+# ---------------------------------------------------------------------------
+# Live-play adapter: slumbot wire state → Witness → policy → action string
+# (ref: spar/src/session.rs + translate.rs — client_pos 0 = BB, 1 = BTN/SB)
+# ---------------------------------------------------------------------------
+
+def parse_card(s: str) -> int:
+    from ..deuce.cards import parse_card as _pc
+
+    return int(_pc(s))
+
+
+def _street_of(n_board: int) -> int:
+    return {0: 0, 3: 1, 4: 2, 5: 3}[n_board]
+
+
+class SlumbotAgent:
+    """Drives a serving policy against the slumbot action protocol.
+
+    Replays the hand's action string into Witness events (bets translated
+    onto the abstraction grid via the configured translation policy),
+    queries the policy, and renders the chosen column back as a slumbot
+    token. Stateless between calls — everything derives from the wire
+    state, like the reference's per-hand session driver.
+    """
+
+    def __init__(self, policy, use_dirac: bool = True, seed: int = 0):
+        from .policy import Agent
+
+        self.agent = Agent(policy, use_dirac=use_dirac, seed=seed)
+
+    def decide_slumbot(self, state: dict) -> str:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..kicker import MENU_PLURIBUS, edges as EDG, game as G
+        from .policy import Witness
+
+        # client_pos 1 ⇒ hero is BTN/SB = our seat 0; client_pos 0 ⇒ BB = seat 1
+        # (ref: spar/src/translate.rs:219-225)
+        hero_seat = 0 if state.get("client_pos", 1) == 1 else 1
+        hole = np.array([parse_card(c) for c in state["hole_cards"]], np.int64)
+        board = [parse_card(c) for c in state.get("board", [])]
+
+        # replay the action string into engine events, tracking the live
+        # state so off-grid bets translate against the real pot
+        menu = jnp.asarray(MENU_PLURIBUS)
+        st = G.root(jnp.zeros(2, jnp.uint32), 1)
+        events = []
+
+        def apply_col(col):
+            nonlocal st
+            events.append(("col", int(col)))
+            st = G.apply_cols(st, jnp.asarray([int(col)]), menu,
+                              jnp.asarray([True]))
+
+        def apply_deal(cards):
+            nonlocal st
+            from ..subgame.posterior import force_deal
+
+            events.append(("deal", list(cards)))
+            arr = np.full(3, -1, np.int64)
+            for j, c in enumerate(cards):
+                arr[j] = c
+            st = force_deal(st, jnp.asarray(arr), jnp.asarray([True]))
+
+        board_used = 0
+        for kind, amount, street_i in parse_actions(state.get("action", "")):
+            # deal boundary: slumbot separates streets with '/'
+            while _street_of(board_used) < street_i and board_used < len(board):
+                take = {0: 3, 3: 1, 4: 1}[board_used]
+                apply_deal(board[board_used:board_used + take])
+                board_used += take
+            t = int(np.asarray(G.turn_of(st))[0])
+            if t == G.TURN_CHANCE:
+                take = {0: 3, 3: 1, 4: 1}[board_used]
+                apply_deal(board[board_used:board_used + take])
+                board_used += take
+            if kind == "check":
+                apply_col(EDG.COL_CHECK)
+            elif kind == "call":
+                apply_col(EDG.COL_CALL if bool(np.asarray(
+                    G.legal_cols(st, menu))[0, EDG.COL_CALL]) else EDG.COL_SHOVE)
+            elif kind == "fold":
+                apply_col(EDG.COL_FOLD)
+            else:  # bet-to `amount` slumbot chips this street
+                col = self._translate_bet(st, menu, amount)
+                apply_col(col)
+
+        witness = Witness(hero_seat=hero_seat, hero_hole=hole, events=events)
+        col = self.agent.decide(witness)
+        return self._render(st, menu, col)
+
+    def _translate_bet(self, st, menu, amount_slumbot: int) -> int:
+        """Off-grid opponent bet → nearest menu column via the configured
+        translation (ref: translate.rs + Size::translate)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..kicker import edges as EDG, game as G
+        from ..pokerkit.regime import Translation
+        from ..pokerkit.translate import translate
+
+        legal = np.asarray(G.legal_cols(st, menu))[0]
+        stake = int(np.asarray(st.stake).max())
+        target = to_local(amount_slumbot)
+        chips = max(target - int(np.asarray(st.stake)[0].max()), 1)
+        ts = int(np.asarray(G.to_shove(st))[0])
+        if chips >= ts and legal[EDG.COL_SHOVE]:
+            return EDG.COL_SHOVE
+        rc = np.asarray(G.raise_chips(st, menu))[0]
+        slots = [s for s in range(EDG.N_RAISE_SLOTS)
+                 if legal[EDG.COL_RAISE0 + s]]
+        if not slots:
+            return EDG.COL_SHOVE if legal[EDG.COL_SHOVE] else EDG.COL_CALL
+        anchors = np.array([rc[s] for s in slots], np.float32)
+        order = np.argsort(anchors)
+        idx = int(translate(anchors[order], np.array([chips], np.float32),
+                            Translation.PHARGMAX)[0])
+        return EDG.COL_RAISE0 + slots[order[idx]]
+
+    def _render(self, st, menu, col) -> str:
+        import numpy as np
+
+        from ..kicker import edges as EDG, game as G
+
+        if col == EDG.COL_FOLD:
+            return "f"
+        if col == EDG.COL_CHECK:
+            return "k"
+        if col == EDG.COL_CALL:
+            return "c"
+        stake = int(np.asarray(st.stake).max())
+        if col == EDG.COL_SHOVE:
+            total = int(np.asarray(G.to_shove(st))[0]) + \
+                int(np.asarray(st.stake)[0, int(np.asarray(G.actor_idx(st))[0])])
+            return render_action("bet", total)
+        rc = np.asarray(G.raise_chips(st, menu))[0]
+        add = int(rc[col - EDG.COL_RAISE0])
+        me = int(np.asarray(G.actor_idx(st))[0])
+        total = add + int(np.asarray(st.stake)[0, me])
+        return render_action("bet", total)

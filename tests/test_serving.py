@@ -166,3 +166,30 @@ def test_records_roundtrip_and_aivat_bridge(blueprint, tmp_path):
     delta = a.evaluate(recs)
     assert delta.n_hands == 3
     assert np.isfinite(delta.aivat_mean)
+
+
+def test_slumbot_agent_full_hand(blueprint):
+    from robopoker_tpu.serving.slumbot import SlumbotAgent
+
+    agent = SlumbotAgent(blueprint, use_dirac=True)
+    # preflop: hero BTN first to act, nothing yet
+    tok = agent.decide_slumbot({
+        "client_pos": 1, "hole_cards": ["Ac", "As"], "board": [],
+        "action": "",
+    })
+    assert tok[0] in "fckb"
+    # facing an opponent 3x raise after our call
+    tok = agent.decide_slumbot({
+        "client_pos": 1, "hole_cards": ["Ac", "As"], "board": [],
+        "action": "cb300",
+    })
+    assert tok[0] in "fckb"
+    # postflop spot with board cards and an off-grid bet to translate
+    tok = agent.decide_slumbot({
+        "client_pos": 1, "hole_cards": ["Ac", "As"],
+        "board": ["Kd", "7h", "2c"],
+        "action": "cc/b137",
+    })
+    assert tok[0] in "fckb"
+    if tok.startswith("b"):
+        assert int(tok[1:]) % 50 == 0  # slumbot chip scale
