@@ -96,3 +96,25 @@ def equity_bucket(equity: jnp.ndarray, bins: int = 101) -> jnp.ndarray:
     """River abstraction: equity quantized to 0..=100
     (ref: crates/kicker/src/abstraction.rs:89-103)."""
     return jnp.clip((equity * (bins - 1) + 0.5).astype(jnp.int32), 0, bins - 1)
+
+
+def pack_observation(pocket, board) -> int:
+    """Observation → i64: bytes of (card+1) folded public-then-pocket
+    (ref: crates/deuce/src/observation.rs:134-141). Host-side wire/DB
+    format; 0x00 bytes terminate so card 2c packs as 0x01."""
+    acc = 0
+    for c in list(board) + list(pocket):
+        if c is None or c < 0:
+            continue
+        acc = (acc << 8) | (int(c) + 1)
+    return acc
+
+
+def unpack_observation(bits: int) -> tuple[list[int], list[int]]:
+    """i64 → (pocket, board), inverse of :func:`pack_observation`."""
+    cards = []
+    while bits > 0:
+        cards.append((bits & 0xFF) - 1)
+        bits >>= 8
+    cards.reverse()  # stored public-first, pocket-last
+    return cards[-2:], cards[:-2]

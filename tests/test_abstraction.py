@@ -240,3 +240,17 @@ def test_sinkhorn_between_exact_and_greedy():
             jnp.asarray(cost))[0])
         # entropic bias at T=0.025 on [0,1]-scale metrics stays small
         assert abs(sink - exact) < 0.05 + 0.25 * exact
+
+
+def test_observation_i64_roundtrip():
+    # ref: observation.rs:277-283 bijection tests
+    from robopoker_tpu.deuce.observation import pack_observation, unpack_observation
+
+    rng = np.random.default_rng(11)
+    for n_board in (0, 3, 4, 5):
+        for _ in range(50):
+            deal = rng.choice(52, 2 + n_board, replace=False).tolist()
+            pocket, board = deal[:2], deal[2:]
+            bits = pack_observation(pocket, board)
+            p2, b2 = unpack_observation(bits)
+            assert p2 == pocket and b2 == board
