@@ -81,11 +81,16 @@ def sinkhorn_cost(mu: jnp.ndarray, nu: jnp.ndarray, cost: jnp.ndarray,
     done0 = jnp.zeros(mu.shape[0], bool)
     f, g, _ = jax.lax.fori_loop(0, hp.iterations, body, (f, g, done0))
 
-    # cost = Σ_{x,y} exp(f(x)+g(y)−C/T)·C
-    plan_log = f[:, :, None] + g[:, None, :] - creg
-    plan = jnp.exp(jnp.maximum(plan_log, NEG))
-    c = cost if cost.ndim == 3 else cost[None]
-    return (plan * c).sum(axis=(1, 2))
+    # cost = Σ_{x,y} exp(f(x)) · [exp(−C/T)·C](x,y) · exp(g(y)) — expressed
+    # as e_f · M · e_g matmuls so no [P, n, n] transport plan materializes
+    # (that intermediate is tens of GB at production pair counts)
+    ef = jnp.exp(f)
+    eg = jnp.exp(g)
+    if cost.ndim == 2:
+        m = jnp.exp(-creg) * cost                  # [n, n]
+        return ((ef @ m) * eg).sum(-1)
+    m = jnp.exp(-creg) * cost                      # [P, n, n]
+    return jnp.einsum("pi,pij,pj->p", ef, m, eg)
 
 
 def sinkhorn_divergence(mu: jnp.ndarray, nu: jnp.ndarray, cost: jnp.ndarray,

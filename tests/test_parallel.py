@@ -1,0 +1,67 @@
+"""Multi-chip training-step correctness on the virtual CPU mesh.
+
+The contract (SURVEY §2.5 P3): the InfoTable is replicated; per-device
+tree shards produce deltas that psum into one identical update applied
+by every replica. Two properties pin it:
+
+1. mesh-of-1 ≡ plain single-device step (bit-equal tables given the
+   same derived RNG key) — validates the shard_map plumbing;
+2. after several 8-way sharded steps, every device's table replica is
+   bit-identical — validates the delta psum + all-gathered row subset
+   (this is exactly the invariant an apply-only-my-rows bug breaks).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from robopoker_tpu.mccfr import LINEAR_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING
+from robopoker_tpu.nlhe import TrainerConfig, init_table, make_nlhe_step, proxy_bucket
+from robopoker_tpu.parallel import make_mesh, make_sharded_nlhe_step
+
+CFG = TrainerConfig(batch=4, work_cap=512, cap=128, max_levels=3,
+                    roll_steps=3, tail_steps=6, table_log2=12)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_mesh_of_one_matches_plain_step():
+    mesh = make_mesh(1)
+    sharded = make_sharded_nlhe_step(
+        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING,
+        mesh, CFG,
+    )
+    plain = make_nlhe_step(
+        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, CFG,
+    )
+    key = jax.random.PRNGKey(3)
+    t1, _ = sharded(init_table(12), key)
+    # the shard body folds the device index into the key
+    t2, _ = plain(init_table(12), jax.random.fold_in(key, 0))
+    assert np.array_equal(np.asarray(t1.regret), np.asarray(t2.regret))
+    assert np.array_equal(np.asarray(t1.weight), np.asarray(t2.weight))
+    assert np.array_equal(np.asarray(t1.visits), np.asarray(t2.visits))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_replicas_stay_identical_across_8_shards():
+    mesh = make_mesh(8)
+    step = make_sharded_nlhe_step(
+        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING,
+        mesh, CFG,
+    )
+    table = init_table(12)
+    for i in range(3):
+        table, m = step(table, jax.random.PRNGKey(7))
+    # every device must hold the same replica
+    shards = table.regret.addressable_shards
+    base = np.asarray(shards[0].data)
+    for s in shards[1:]:
+        assert np.array_equal(np.asarray(s.data), base)
+    vshards = table.visits.addressable_shards
+    vbase = np.asarray(vshards[0].data)
+    for s in vshards[1:]:
+        assert np.array_equal(np.asarray(s.data), vbase)
+    # and learning actually happened across shards
+    assert (np.abs(base).sum(axis=1) > 0).sum() > 0
