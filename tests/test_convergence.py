@@ -17,14 +17,19 @@ from robopoker_tpu.games import Kuhn, Leduc, Rps
 from robopoker_tpu.games import kuhn as kuhn_mod
 from robopoker_tpu.games import rps as rps_mod
 from robopoker_tpu.mccfr import (
+    ASYMMETRIC_REGRET,
+    CONSTANT_WEIGHT,
     DISCOUNTED_REGRET,
+    EXPONENTIAL_WEIGHT,
     EXTERNAL_SAMPLING,
     FLOORED_REGRET,
     LINEAR_REGRET,
     LINEAR_WEIGHT,
     PLURIBUS_SAMPLING,
+    PRUNABLE_SAMPLING,
     QUADRATIC_WEIGHT,
     SUMMED_REGRET,
+    TARGETED_SAMPLING,
     SamplingConfig,
     Solver,
 )
@@ -43,17 +48,27 @@ def test_rps_converges_to_asymmetric_nash():
 
 
 @pytest.mark.parametrize(
-    "regret,weight,tol",
+    "regret,weight,sampling,tol",
     [
-        (FLOORED_REGRET, LINEAR_WEIGHT, 0.08),     # CFR+
-        (LINEAR_REGRET, LINEAR_WEIGHT, 0.10),      # Pluribus (Linear CFR)
-        (SUMMED_REGRET, LINEAR_WEIGHT, 0.10),      # vanilla accumulation
-        (DISCOUNTED_REGRET, QUADRATIC_WEIGHT, 0.10),  # DCFR
+        # ref: the kuhn!/rps scheme-matrix tests (roshambo/src/solver.rs:
+        # 83-120; reference tolerances 0.05-0.08 at 2^16, ours at 2^14)
+        (FLOORED_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.08),  # CFR+
+        (LINEAR_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.10),   # Pluribus
+        (SUMMED_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.10),   # vanilla
+        (DISCOUNTED_REGRET, QUADRATIC_WEIGHT, EXTERNAL_SAMPLING, 0.10),  # DCFR
+        (ASYMMETRIC_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.10),
+        (FLOORED_REGRET, CONSTANT_WEIGHT, EXTERNAL_SAMPLING, 0.10),
+        (FLOORED_REGRET, QUADRATIC_WEIGHT, EXTERNAL_SAMPLING, 0.10),
+        (DISCOUNTED_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.10),
+        (FLOORED_REGRET, LINEAR_WEIGHT, TARGETED_SAMPLING, 0.12),
+        (FLOORED_REGRET, LINEAR_WEIGHT, PRUNABLE_SAMPLING, 0.12),
+        # the reference documents ExponentialWeight(0.9999) as oscillating
+        # at small iteration counts; we assert it at a loose band only
+        (FLOORED_REGRET, EXPONENTIAL_WEIGHT, EXTERNAL_SAMPLING, 0.30),
     ],
 )
-def test_rps_scheme_matrix(regret, weight, tol):
-    # ref: the kuhn!/rps scheme-matrix tests (roshambo/src/solver.rs:83-120)
-    s = Solver(Rps(), regret, weight, EXTERNAL_SAMPLING, seed=1)
+def test_rps_scheme_matrix(regret, weight, sampling, tol):
+    s = Solver(Rps(), regret, weight, sampling, seed=1)
     s.solve(2 ** 14)
     assert s.exploitability() < tol, (regret.name, weight.name, s.exploitability())
 
