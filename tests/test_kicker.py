@@ -194,3 +194,37 @@ def test_open_sizes_snap():
     # preflop depth 0: opens 2,3,4,5 BB = 4,6,8,10 chips; min raise is
     # to_call(1) + max(marginal(1), BB(2)) = 3 → no snap needed
     assert rc[0].tolist() == [4, 6, 8, 10, 3]  # slot 5 empty→nominal 0→snap to min 3
+
+
+def test_allin_call_runout_settlement():
+    # deterministic all-in line: dealer shoves preflop, BB calls (as shove),
+    # board runs out, settlement is side-pot-correct and zero-sum
+    state = root(jax.random.PRNGKey(11), 4)
+    # dealer shoves (col 3)
+    state = apply_cols(state, jnp.full(4, E.COL_SHOVE), MENU, jnp.ones(4, bool))
+    assert np.asarray(turn_of(state)).tolist() == [1] * 4
+    # BB faces to_call == stack: the call is expressed as Shove
+    # (may_call requires covering, ref: game.rs:517-520)
+    lc = np.asarray(legal_cols(state, MENU))
+    assert lc[:, E.COL_SHOVE].all() and lc[:, E.COL_FOLD].all()
+    assert not lc[:, E.COL_CALL].any() and not lc[:, E.COL_CHECK].any()
+    state = apply_cols(state, jnp.full(4, E.COL_SHOVE), MENU, jnp.ones(4, bool))
+    # both all-in → chance runout to the river
+    for i in range(3):
+        assert (np.asarray(turn_of(state)) == 2).all()  # TURN_CHANCE
+        state = deal_board(state, jax.random.fold_in(jax.random.PRNGKey(12), i))
+    assert (np.asarray(turn_of(state)) == 3).all()      # TERMINAL
+    assert (np.asarray(state.board) >= 0).all()
+    pnl = np.asarray(settle(state))
+    assert np.allclose(pnl.sum(axis=1), 0.0)
+    # caller was the shorter effective stack pre-shove: max win = 198
+    assert (np.abs(pnl) <= 199).all()
+
+
+def test_fold_preflop_settlement():
+    state = root(jax.random.PRNGKey(13), 2)
+    state = apply_cols(state, jnp.full(2, E.COL_FOLD), MENU, jnp.ones(2, bool))
+    assert (np.asarray(turn_of(state)) == 3).all()
+    pnl = np.asarray(settle(state))
+    # dealer folded the SB: loses 1, BB wins 1
+    assert pnl.tolist() == [[-1.0, 1.0]] * 2
