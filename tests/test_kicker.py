@@ -217,8 +217,9 @@ def test_allin_call_runout_settlement():
     assert (np.asarray(state.board) >= 0).all()
     pnl = np.asarray(settle(state))
     assert np.allclose(pnl.sum(axis=1), 0.0)
-    # caller was the shorter effective stack pre-shove: max win = 198
-    assert (np.abs(pnl) <= 199).all()
+    # both players committed their full 200 (blind + shove): winner takes
+    # 200, or a chopped board pushes
+    assert ((np.abs(pnl) == 200) | (pnl == 0)).all()
 
 
 def test_fold_preflop_settlement():
