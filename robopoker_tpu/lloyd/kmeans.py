@@ -61,7 +61,15 @@ def _pair_distance(points, centroids, spec: EmdSpec,
 
 def assign(points: jnp.ndarray, centroids: jnp.ndarray, spec: EmdSpec,
            chunk: int = 4096) -> jnp.ndarray:
-    """Nearest-centroid assignment, chunked over points. Returns [N] int32."""
+    """Nearest-centroid assignment, chunked over points. Returns [N] int32.
+
+    Chunks are dispatched from the host (one jit call per block) rather
+    than a single fused ``lax.map``: a whole-street assignment is a
+    multi-minute device program, and the remote-TPU relay kills grants
+    that stay silent that long (two observed worker crashes in the flop
+    Sinkhorn pass). Short dispatches also let interrupts land between
+    blocks, like the reference's per-batch interrupt polling.
+    """
     K = centroids.shape[0]
     if spec.kind == "sinkhorn":
         cost = jnp.asarray(spec.cost, jnp.float32)
@@ -69,17 +77,18 @@ def assign(points: jnp.ndarray, centroids: jnp.ndarray, spec: EmdSpec,
     else:
         cself = None
 
-    n = points.shape[0]
-    pad = (-n) % chunk
-    pts = jnp.pad(points, ((0, pad), (0, 0)))
-    blocks = pts.reshape(-1, chunk, points.shape[1])
-
-    def one(block):
+    @jax.jit
+    def one(block, centroids, cself):
         d = _pair_distance(block, centroids, spec, cself)
         return jnp.argmin(d, axis=1).astype(jnp.int32)
 
-    out = jax.lax.map(one, blocks).reshape(-1)
-    return out[:n]
+    n = points.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    outs = []
+    for i in range(0, pts.shape[0], chunk):
+        outs.append(one(pts[i:i + chunk], centroids, cself))
+    return jnp.concatenate(outs)[:n]
 
 
 def recompute(points: jnp.ndarray, assignment: jnp.ndarray, k: int,
@@ -122,17 +131,18 @@ def kmeans_pp_init(points: jnp.ndarray, k: int, spec: EmdSpec,
     centroids = jnp.zeros((k, points.shape[1]), jnp.float32).at[0].set(pts[first])
     d2 = dist_to(pts[first]) ** 2
 
-    def body(i, carry):
-        centroids, d2 = carry
+    # one short dispatch per pick (a fused 256-pick loop is a minutes-long
+    # device program — see assign() on relay grant timeouts)
+    @jax.jit
+    def pick_next(i, key, centroids, d2):
         kk = jax.random.fold_in(key, i)
         p = d2 / jnp.maximum(d2.sum(), 1e-30)
         pick = jax.random.choice(kk, m, (), p=p)
         c = pts[pick]
-        centroids = centroids.at[i].set(c)
-        d2 = jnp.minimum(d2, dist_to(c) ** 2)
-        return centroids, d2
+        return centroids.at[i].set(c), jnp.minimum(d2, dist_to(c) ** 2)
 
-    centroids, _ = jax.lax.fori_loop(1, k, body, (centroids, d2))
+    for i in range(1, k):
+        centroids, d2 = pick_next(jnp.int32(i), key, centroids, d2)
     return centroids
 
 
