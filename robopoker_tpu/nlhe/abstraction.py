@@ -59,10 +59,13 @@ def proxy_bucket(hole: jnp.ndarray, board: jnp.ndarray,
     code = strength_from_masks(suit_masks(cards))
     category = (code >> 21) & 0xF       # 0..8
     primary = (code >> 17) & 0xF        # 0..12
-    # does the board alone make the hand (e.g. board pair)?
-    bcode = strength_from_masks(suit_masks(board))
-    board_made = ((bcode >> 21) & 0xF) == category
-    post_idx = category * 26 + primary * 2 + board_made.astype(jnp.int32)
+    # board-texture bit: paired board (pure mask ops — a second full
+    # evaluator call here doubled the cost of every trainer lookup)
+    bm = suit_masks(board)
+    s0, s1, s2, s3 = (bm[..., i] for i in range(4))
+    board_paired = ((s0 & s1) | (s0 & s2) | (s0 & s3)
+                    | (s1 & s2) | (s1 & s3) | (s2 & s3)) != 0
+    post_idx = category * 26 + primary * 2 + board_paired.astype(jnp.int32)
 
     idx = jnp.where(street == 0, pre_idx, post_idx)
     return (street.astype(jnp.int32) << 8) | idx

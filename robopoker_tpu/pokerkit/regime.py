@@ -62,6 +62,9 @@ class RunConfig:
     version: Version = Version.V3
     translation: Translation = Translation.PHARGMAX
     seed: int = 0
+    # card-abstraction provider version — part of the infoset keyspace,
+    # so checkpoints must refuse to resume across bucket changes
+    bucket: str = "proxy-v2"
 
     def config_string(self) -> str:
         """Stable fingerprint input of every tree-shape constant.
@@ -87,6 +90,7 @@ class RunConfig:
             f"kturn={c.KMEANS_TURN_CLUSTER_COUNT}",
             f"keqty={c.KMEANS_EQTY_CLUSTER_COUNT}",
             f"worlds={c.N_WORLDS}", f"frontier={c.FRONTIER_LEAVES}",
+            f"bucket={self.bucket}",
         ]
         return ";".join(parts)
 
