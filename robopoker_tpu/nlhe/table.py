@@ -6,14 +6,17 @@ its Postgres row key ``(past, present, choices, edge, weight, regret,
 payoff, visits)`` (ref: crates/daybook/src/traits/row.rs:47-57).
 
 Design (SURVEY §7.1 "No HashMap profile"): one dense ``[T, 9]`` table per
-accumulator, rows addressed by a **multiplicative hash of the infoset
-key** (bucket u16, current-street path 60b, choices mask 9b). Round-1
-uses lossy addressing — colliding infosets share a row — with the
-collision probability held down by sizing T ≥ 4× live infosets; the
-stored key words let collisions be *measured* (``collision_stats``) and a
-probing insert kernel is the planned upgrade. This is the classic
-hashed-CFR tradeoff: regret pollution on collisions degrades the
-blueprint gracefully rather than crashing it.
+accumulator, rows addressed by a hash of the infoset key (bucket u16,
+current-street path 60b, choices mask 9b) resolved with **vectorized
+open addressing** (``probe_rows``): a fixed ladder of double-hashed
+candidate slots, first-match-else-first-empty-else-shared. New keys
+claim the first empty candidate (the trainer persists the key words on
+update, guarded so a resident key is never overwritten); only keys that
+exhaust the whole ladder share a row, and that event is counted
+(``fallbacks`` metric / ``collision_stats``). Two distinct keys claiming
+the same empty slot in the same epoch pollute it for that one epoch,
+then the scatter's surviving key keeps the row and the loser re-probes
+to its next candidate — transient, self-healing, and measured.
 
 All updates are fused masked scatter-adds — the TPU replacement for the
 reference's per-row UPSERTs.
@@ -86,21 +89,71 @@ def make_key(bucket: jnp.ndarray, subgame: jnp.ndarray,
 
 
 def slot_of(key_lo: jnp.ndarray, key_hi: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Lossy single-shot addressing — kept for small short-lived tables
+    that do not persist key words (the subgame resolver's local table)."""
     mask = capacity - 1
     return (key_lo ^ key_hi) & mask
 
 
-def collision_stats(table: InfoTable, sample_keys: np.ndarray) -> dict:
-    """Host-side audit: fraction of sampled keys whose slot stores a
-    different key (a live collision)."""
+N_PROBES = 8
+
+
+def probe_rows(stored_lo: jnp.ndarray, stored_hi: jnp.ndarray,
+               klo: jnp.ndarray, khi: jnp.ndarray,
+               n_probes: int = N_PROBES) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact open-addressed row resolution over the stored key words.
+
+    TPU formulation of the reference's ``HashMap`` probe (ref:
+    crates/mccfr/src/strategy/book.rs): instead of a data-dependent walk,
+    gather a fixed ladder of ``n_probes`` double-hashed candidates and
+    select the first that matches this key, else the first empty (a
+    claim), else share the last candidate lossily. Because slots are
+    never vacated, a key's earlier candidates stay occupied after it
+    claims — so first-hit is always the right row.
+
+    Returns ``(rows, fallback)`` where ``fallback`` marks ladder-
+    exhausted keys (the only remaining source of regret pollution).
+    """
+    capacity = stored_lo.shape[0]
+    mask = capacity - 1
+    base = klo ^ khi
+    stride = (khi << 1) | 1  # odd stride => full cycle on a 2^k table
+    offs = jnp.arange(n_probes, dtype=jnp.int32)
+    cand = (base[..., None] + offs * stride[..., None]) & mask
+    slo = stored_lo[cand]
+    shi = stored_hi[cand]
+    hit = ((slo == klo[..., None]) & (shi == khi[..., None])) | (
+        (slo == 0) & (shi == 0)
+    )
+    any_hit = hit.any(-1)
+    pick = jnp.where(any_hit, jnp.argmax(hit, axis=-1), n_probes - 1)
+    rows = jnp.take_along_axis(cand, pick[..., None], axis=-1)[..., 0]
+    return rows, ~any_hit
+
+
+def collision_stats(table: InfoTable, sample_keys: np.ndarray,
+                    n_probes: int = N_PROBES) -> dict:
+    """Host-side audit mirroring ``probe_rows``: fraction of sampled keys
+    that exhaust the probe ladder (live collision) and fraction resolved
+    past the base slot (displaced)."""
     lo = np.asarray(table.key_lo)
     hi = np.asarray(table.key_hi)
-    kl, kh = sample_keys[:, 0], sample_keys[:, 1]
-    s = (kl ^ kh) & (table.capacity - 1)
-    occupied = (lo[s] != 0) | (hi[s] != 0)
-    mismatch = occupied & ((lo[s] != kl) | (hi[s] != kh))
+    kl = sample_keys[:, 0].astype(np.int32)
+    kh = sample_keys[:, 1].astype(np.int32)
+    mask = table.capacity - 1
+    base = kl ^ kh
+    stride = (kh << 1) | np.int32(1)
+    cand = (base[:, None] + np.arange(n_probes, dtype=np.int32)
+            * stride[:, None]) & mask
+    slo, shi = lo[cand], hi[cand]
+    hit = ((slo == kl[:, None]) & (shi == kh[:, None])) | (
+        (slo == 0) & (shi == 0)
+    )
+    any_hit = hit.any(1)
+    first = np.argmax(hit, axis=1)
     return {
         "sampled": int(len(kl)),
-        "collided": int(mismatch.sum()),
+        "collided": int((~any_hit).sum()),
+        "displaced": int((any_hit & (first > 0)).sum()),
         "occupancy": float(((lo != 0) | (hi != 0)).mean()),
     }

@@ -50,7 +50,7 @@ from ..mccfr.sampling import PLURIBUS, TARGETED, SamplingConfig
 from ..mccfr.schedules import RegretSchedule, WeightSchedule
 from ..pokerkit.constants import EPSILON
 from ..pokerkit.hyperparams import SamplingHyperParams, TrainingHyperParams
-from .table import InfoTable, N_COLS, make_key, slot_of
+from .table import InfoTable, N_COLS, make_key, probe_rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,6 +62,7 @@ class TrainerConfig:
     roll_steps: int = 5        # opp/chance steps between walker decisions
     tail_steps: int = 16       # on-policy sampled steps for deep lines
     table_log2: int = 20
+    n_probes: int = 8          # open-addressing ladder depth (table.probe_rows)
     # legacy alias (pre-compaction configs passed per-tree level width)
     level_cap: int | None = None
 
@@ -166,7 +167,8 @@ def make_nlhe_step(
             is_opp = (t <= 1) & (t != walker)
             is_act = is_opp | (include_walker & (t == walker))
             klo, khi, legal = lookup(states)
-            row = slot_of(klo, khi, table.capacity)
+            row, _ = probe_rows(table.key_lo, table.key_hi, klo, khi,
+                                C.n_probes)
             q = exploration_rows(table.weight[row], legal, sampling_hp)
             pi = regret_matching_rows(table.regret[row], legal)
             if sampling.scheme == TARGETED:  # opponents follow current policy
@@ -280,11 +282,14 @@ def make_nlhe_step(
         def level_body(lvl, lcarry):
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
              valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-             dropped, work_states, work_tree, work_valid, work_slot) = lcarry
+             dropped, fallbacks, work_states, work_tree, work_valid,
+             work_slot) = lcarry
             lkey = jax.random.fold_in(ekey, 100 + lvl)
 
             klo, khi, legal = lookup(work_states)
-            row = slot_of(klo, khi, table.capacity)
+            row, fb = probe_rows(table.key_lo, table.key_hi, klo, khi,
+                                 C.n_probes)
+            fallbacks = fallbacks + (fb & work_valid).sum()
             regret_rows = table.regret[row]
 
             legal = legal & work_valid[:, None]
@@ -393,27 +398,29 @@ def make_nlhe_step(
             work_slot = next_slot
             return (parent, pcol, ratio_in, reach, is_term, term_value,
                     level_of, valid, row_of, klo_of, khi_of, legal_of,
-                    branch_of, n_slots, dropped, work_states, work_tree,
-                    work_valid, work_slot)
+                    branch_of, n_slots, dropped, fallbacks, work_states,
+                    work_tree, work_valid, work_slot)
 
         def level_cond(carry):
             lvl, lcarry = carry
-            return (lvl < C.max_levels) & lcarry[17].any()
+            return (lvl < C.max_levels) & lcarry[18].any()
 
         def level_wbody(carry):
             lvl, lcarry = carry
             return lvl + 1, level_body(lvl, lcarry)
 
+        fallbacks = jnp.zeros((), jnp.int32)
         _, (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
             valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-            dropped, work_states, work_tree, work_valid, work_slot) = (
+            dropped, fallbacks, work_states, work_tree, work_valid,
+            work_slot) = (
             jax.lax.while_loop(
                 level_cond, level_wbody,
                 (jnp.int32(0),
                  (parent, pcol, ratio_in, reach, is_term, term_value,
                   level_of, valid, row_of, klo_of, khi_of, legal_of,
-                  branch_of, n_slots, dropped, work_states, work_tree,
-                  work_valid, work_slot)),
+                  branch_of, n_slots, dropped, fallbacks, work_states,
+                  work_tree, work_valid, work_slot)),
             )
         )
         SPILLW = B * CAP
@@ -545,13 +552,17 @@ def make_nlhe_step(
             jnp.where(live & sub_oc, sub_visits + sub_counts, sub_visits)
         )
 
-        # record keys for collision auditing (last-writer wins)
-        key_lo = table.key_lo.at[rows].set(
-            jnp.where(live & sub_oc & upd_bc, klo_bc, table.key_lo[rows])
+        # persist key words: claim empty slots / refresh matching ones, but
+        # never evict a resident key (a ladder-exhausted fallback writer
+        # would otherwise orphan the resident's accumulated regret)
+        cur_lo = table.key_lo[rows]
+        cur_hi = table.key_hi[rows]
+        claimable = ((cur_lo == 0) & (cur_hi == 0)) | (
+            (cur_lo == klo_bc) & (cur_hi == khi_bc)
         )
-        key_hi = table.key_hi.at[rows].set(
-            jnp.where(live & sub_oc & upd_bc, khi_bc, table.key_hi[rows])
-        )
+        wr = live & sub_oc & upd_bc & claimable
+        key_lo = table.key_lo.at[rows].set(jnp.where(wr, klo_bc, cur_lo))
+        key_hi = table.key_hi.at[rows].set(jnp.where(wr, khi_bc, cur_hi))
 
         new_table = InfoTable(
             regret=regret, weight=weight, payoff=payoff, visits=visits,
@@ -561,6 +572,7 @@ def make_nlhe_step(
             "nodes": valid.sum(),
             "terminal_frac": (valid & is_term).sum() / jnp.maximum(valid.sum(), 1),
             "dropped": dropped,
+            "fallbacks": fallbacks,
             "unfinished_tail": unfinished.sum(),
             "touched_rows": occ.sum(),
         }

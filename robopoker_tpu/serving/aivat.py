@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..kicker import MENU_PLURIBUS, edges as E, game as G
 from ..mccfr.engine import averaged
-from ..nlhe.table import InfoTable, N_COLS, make_key, slot_of
+from ..nlhe.table import InfoTable, N_COLS, make_key, probe_rows
 
 
 @dataclasses.dataclass
@@ -73,7 +73,7 @@ class Aivat:
         cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
         sub = G.packed_subgame(state)
         klo, khi = make_key(bucket, sub, cmask)
-        row = slot_of(klo, khi, self.table.capacity)
+        row, _ = probe_rows(self.table.key_lo, self.table.key_hi, klo, khi)
         sigma = np.asarray(averaged(self.table.weight[row], legal))[0]
         # baseline: infoset EV (identical across that row's edges)
         pay = np.asarray(self.table.payoff[row])[0]

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..kicker import MENU_PLURIBUS, edges as E, game as G
 from ..mccfr.engine import averaged
 from ..nlhe.abstraction import proxy_bucket
-from ..nlhe.table import InfoTable, N_COLS, make_key, slot_of
+from ..nlhe.table import InfoTable, N_COLS, make_key, probe_rows
 from ..pokerkit.hyperparams import SubgameHyperParams
 from ..subgame import (
     ResolveConfig,
@@ -105,7 +105,7 @@ class Blueprint:
         cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
         sub = G.packed_subgame(head)
         klo, khi = make_key(bucket, sub, cmask)
-        row = slot_of(klo, khi, self.table.capacity)
+        row, _ = probe_rows(self.table.key_lo, self.table.key_hi, klo, khi)
         return np.asarray(averaged(self.table.weight[row], legal))[0]
 
 

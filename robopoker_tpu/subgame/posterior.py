@@ -26,7 +26,7 @@ from ..deuce.observation import ALL_POCKETS
 from ..kicker import edges as E
 from ..kicker import game as G
 from ..mccfr.engine import averaged
-from ..nlhe.table import InfoTable, make_key, slot_of
+from ..nlhe.table import InfoTable, make_key, probe_rows
 from ..pokerkit.constants import N_WORLDS
 
 
@@ -116,7 +116,7 @@ def make_posterior_fn(bucket_fn, menu: np.ndarray, seq_len: int = 24):
             at_villain = (t == villain) & is_act
             # villain policy at the observed column
             klo, khi, legal = _lookup(state)
-            row = slot_of(klo, khi, table.capacity)
+            row, _ = probe_rows(table.key_lo, table.key_hi, klo, khi)
             sig = averaged(table.weight[row], legal)
             p = sig[jnp.arange(NB), jnp.clip(col[i], 0, 8)]
             reach = reach * jnp.where(at_villain, jnp.maximum(p, 0.0), 1.0)

@@ -46,7 +46,8 @@ import numpy as np
 from ..kicker import edges as E
 from ..kicker import game as G
 from ..mccfr.engine import averaged
-from ..nlhe.table import InfoTable, N_COLS, init_table, make_key, slot_of
+from ..nlhe.table import (InfoTable, N_COLS, init_table, make_key,
+                          probe_rows, slot_of)
 from ..nlhe.trainer import exploration_rows, regret_matching_rows, _scat, _scat_state
 from ..pokerkit.constants import EPSILON, N_WORLDS
 from ..pokerkit.hyperparams import (
@@ -114,7 +115,7 @@ def make_resolve_step(
     def read_rows(local: InfoTable, blueprint: InfoTable, states, world, t_bp):
         """Read-through cumulative regret/weight with warmstart transform."""
         klo, khi, wlo, legal = lookup(states, world)
-        bp_row = slot_of(klo, khi, blueprint.capacity)
+        bp_row, _ = probe_rows(blueprint.key_lo, blueprint.key_hi, klo, khi)
         lc_row = slot_of(wlo, khi, local.capacity)
         seeded = local.visits[lc_row] > 0
         bp_sigma = averaged(blueprint.weight[bp_row], legal)
@@ -157,7 +158,8 @@ def make_resolve_step(
             t = G.turn_of(st)
             is_choice = t <= 1
             klo, khi, _, legal = lookup(st, None)
-            row = slot_of(klo, khi, blueprint.capacity)
+            row, _ = probe_rows(blueprint.key_lo, blueprint.key_hi,
+                                klo, khi)
             sigma = averaged(blueprint.weight[row], legal)
             actor_bias = jnp.where(t == internal_seat, bias_int, bias_ext)
             boost = BIAS_CLASS[jnp.clip(actor_bias, 0, 3)]  # [n, 9]
@@ -645,7 +647,8 @@ def harvest_blend(local: InfoTable, blueprint: InfoTable, head: G.TableState,
     sub = G.packed_subgame(head)
     klo, khi = make_key(bucket, sub, cmask)
 
-    bp_row = int(np.asarray(slot_of(klo, khi, blueprint.capacity))[0])
+    bp_row = int(np.asarray(
+        probe_rows(blueprint.key_lo, blueprint.key_hi, klo, khi)[0])[0])
     bp_sigma = np.asarray(averaged(
         blueprint.weight[bp_row][None], legal[0][None]))[0]
 
