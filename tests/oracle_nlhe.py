@@ -1,4 +1,4 @@
-"""Independent pure-Python heads-up NLHE rules oracle.
+"""Independent pure-Python N-seat NLHE rules oracle.
 
 A direct transcription of the reference's game-state semantics
 (ref: crates/kicker/src/game.rs — turn/legal/act/next_player/
@@ -41,14 +41,17 @@ class Game:
     ticker: int = 0
 
     @classmethod
-    def preblind(cls, holes, dealer=0, stacks=(STACK, STACK)):
+    def preblind(cls, holes, dealer=0, stacks=None):
+        if stacks is None:
+            stacks = (STACK,) * len(holes)
         return cls(
             seats=[Seat(cards=tuple(h), stack=s) for h, s in zip(holes, stacks)],
-            board=[], dealer=dealer, ticker=0,
+            board=[], dealer=dealer,
+            ticker=0 if len(holes) == 2 else 1,  # ref: game.rs:59-67
         )
 
     @classmethod
-    def root(cls, holes, dealer=0, stacks=(STACK, STACK)):
+    def root(cls, holes, dealer=0, stacks=None):
         g = cls.preblind(holes, dealer, stacks)
         g.act(g.posts())
         g.act(g.posts())
@@ -56,7 +59,7 @@ class Game:
 
     # --- positions ---------------------------------------------------------
     def actor_idx(self):
-        return (self.dealer + self.ticker) % 2
+        return (self.dealer + self.ticker) % len(self.seats)
 
     def actor(self):
         return self.seats[self.actor_idx()]
@@ -69,8 +72,9 @@ class Game:
 
     # --- predicates (ref game.rs:481-531) ----------------------------------
     def is_everyone_touched(self):
-        offset = 1  # heads-up
-        return self.ticker > 2 + (offset if self.street() == PREF else 0)
+        P = len(self.seats)
+        offset = 1 if P == 2 else 2  # ref: game.rs:489-493
+        return self.ticker > P + (offset if self.street() == PREF else 0)
 
     def is_everyone_matched(self):
         stake = self.max_stake()
@@ -222,29 +226,57 @@ class Game:
         g.act(action, cards)
         return g
 
-    # --- settlement (ref showdown.rs:18-40) ----------------------------------
+    # --- settlement (ref showdown.rs Showdown::settle) ------------------------
     def settlements(self):
-        """Returns per-seat PnL (chips won − spent). Heads-up side-pot-correct."""
+        """Returns per-seat PnL (chips won − spent), any seat count.
+
+        Direct transcription of the reference's tiered loop: strongest
+        live tier first; within a tier, ascending winner all-in levels;
+        each layer pot = every seat's clipped contribution; equal split
+        with odd chips to the earliest winners in seat order."""
         assert self.must_stop()
-        alive = [i for i, s in enumerate(self.seats) if s.state != FOLDING]
+        P = len(self.seats)
         spent = [s.spent for s in self.seats]
+        alive = [i for i, s in enumerate(self.seats) if s.state != FOLDING]
         if len(alive) == 1:
             w = alive[0]
-            return [self.pot - spent[w] if i == w else -spent[i] for i in range(2)]
+            return [self.pot - spent[w] if i == w else -spent[i]
+                    for i in range(P)]
         strengths = [
-            hand_strength([int(c) for c in s.cards] + [int(b) for b in self.board])
-            for s in self.seats
+            hand_strength([int(c) for c in s.cards]
+                          + [int(b) for b in self.board])
+            if s.state != FOLDING else -1
+            for i, s in enumerate(self.seats)
         ]
-        if strengths[0] == strengths[1]:
-            # split, each gets back min(spent, other's spent) matched portion;
-            # heads-up: each takes back own contribution (odd chip impossible
-            # with equal blinds structure here — pot is 2x matched + excess)
-            matched = min(spent)
-            excess = [sp - matched for sp in spent]
-            return [matched + excess[i] - spent[i] for i in range(2)]
-        w = 0 if strengths[0] > strengths[1] else 1
-        l = 1 - w
-        win_amount = min(spent[l], spent[w])  # can only win what you cover
-        return [
-            win_amount if i == w else -win_amount for i in range(2)
-        ]
+        rewards = tiered_rewards(spent, [s.state == FOLDING
+                                         for s in self.seats], strengths)
+        return [rewards[i] - spent[i] for i in range(P)]
+
+
+def tiered_rewards(spent, folded, strengths):
+    """Reference Showdown::settle tier loop (ref: showdown.rs) as a
+    standalone function over (risked, folded, strength) triples."""
+    P = len(spent)
+    alive = [i for i in range(P) if not folded[i]]
+    rewards = [0] * P
+    best = None
+    distributing = 0
+    while True:
+        cands = [strengths[i] for i in alive
+                 if best is None or strengths[i] < best]
+        if not cands:
+            break
+        best = max(cands)
+        while True:
+            distributed = distributing
+            winners = [i for i in alive
+                       if strengths[i] == best and spent[i] > distributed]
+            if not winners:
+                break
+            distributing = min(spent[i] for i in winners)
+            chips = sum(max(0, min(sp, distributing) - distributed)
+                        for sp in spent)
+            share, bonus = divmod(chips, len(winners))
+            for j, i in enumerate(winners):
+                rewards[i] += share + (1 if j < bonus else 0)
+    return rewards
