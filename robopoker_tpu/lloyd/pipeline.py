@@ -80,6 +80,8 @@ def cluster_turn(pocket: np.ndarray, board4: np.ndarray, k: int,
         feats.append(np.asarray(turn_histograms(
             jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board4[i:i + chunk])
         )))
+        if (i // chunk) % 32 == 0:
+            print(f"  turn histograms {i}/{len(pocket)}", flush=True)
     points = jnp.asarray(np.concatenate(feats))
     res = cluster(points, k, EmdSpec("variation"), key, hp, chunk=chunk)
     lookup = build_lookup(h1, h2, res.assignment.astype(np.int32))
@@ -102,6 +104,8 @@ def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
             jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board3[i:i + chunk]),
             turn.lookup, kt,
         )))
+        if (i // chunk) % 32 == 0:
+            print(f"  flop histograms {i}/{len(pocket)}", flush=True)
     points = jnp.asarray(np.concatenate(feats))
     spec = EmdSpec("sinkhorn", cost=turn.metric, sinkhorn_hp=sinkhorn_hp)
     res = cluster(points, k, spec, key, hp, chunk=chunk)

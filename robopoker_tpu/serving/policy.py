@@ -169,9 +169,34 @@ class Agent:
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
 
-    def decide(self, witness: Witness) -> int:
+    def decide(self, witness: Witness, legal: np.ndarray | None = None) -> int:
         dist = self.policy.distribution(witness)
         return dirac(dist) if self.use_dirac else sample(dist, self._rng)
+
+
+@dataclasses.dataclass
+class Fish:
+    """Uniform-random legal bot, shoves excluded (ref:
+    crates/parlor/src/players/fish.rs — "chooses randomly from legal
+    actions" filtered of all-ins). Seat-count agnostic, so it populates
+    multi-way (FunTable/NitTable) tables where the heads-up blueprint
+    does not apply; falls back to check/call when no mask is given."""
+
+    seed: int = 0
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+
+    def decide(self, witness: Witness, legal: np.ndarray | None = None) -> int:
+        from ..kicker import edges as E
+
+        if legal is None:
+            return E.COL_CALL
+        ok = np.asarray(legal).copy()
+        if ok.sum() > 1:
+            ok[E.COL_SHOVE] = False  # ref Fish filters is_shove()
+        opts = np.nonzero(ok)[0]
+        return int(self._rng.choice(opts))
 
 
 def zoo(blueprint: Blueprint) -> dict:
@@ -185,6 +210,7 @@ def zoo(blueprint: Blueprint) -> dict:
     """
     res = Resolver(blueprint)
     return {
+        "fish": Fish(),
         "base": Agent(blueprint, use_dirac=False),
         "dirac": Agent(blueprint, use_dirac=True),
         "depth+world": Agent(res, use_dirac=False),

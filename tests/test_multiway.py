@@ -251,3 +251,20 @@ def test_engine_settle_matches_tiered_rewards_fuzz():
     assert np.allclose(pnl.sum(axis=1), 0.0)
     spent = np.asarray(state.spent)[done]
     assert (pnl >= -spent).all()
+
+
+# --- live multi-way table (serving engine) ------------------------------------
+
+def test_multiway_live_engine_fish_table():
+    """A 6-max Fish table (FunTable surface) plays full hands: zero-sum
+    integral settlements, hands terminate, and the 10-max NitTable alias
+    also completes."""
+    from robopoker_tpu.serving.parlor import Engine
+    from robopoker_tpu.serving.policy import Fish
+
+    for seats in (6, 10):
+        eng = Engine(agents=[Fish(seed=i) for i in range(seats)], seed=42)
+        pnl = eng.play(4)
+        assert pnl.shape == (4, seats)
+        assert np.allclose(pnl.sum(axis=1), 0.0)
+        assert (pnl == pnl.astype(np.int64)).all()
