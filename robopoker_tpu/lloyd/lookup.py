@@ -30,6 +30,18 @@ class IsoLookup:
     def capacity(self) -> int:
         return len(self.value)
 
+    def device(self) -> "IsoLookup":
+        """One-time device residency. ``lookup_device`` calls
+        ``jnp.asarray`` on the key/value words; with numpy-backed tables
+        every *eager* (non-jit) query re-ships the whole table — ~12 MB
+        through the MB/s remote-TPU tunnel per host-chunked dispatch,
+        which is what wedged the flop histogram phase. Idempotent on
+        already-device tables."""
+        return IsoLookup(
+            jnp.asarray(self.key1), jnp.asarray(self.key2),
+            jnp.asarray(self.value),
+        )
+
 
 def build_lookup(h1: np.ndarray, h2: np.ndarray, values: np.ndarray,
                  load: float = 0.5) -> IsoLookup:

@@ -98,11 +98,12 @@ def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
     turn centroid metric (ref: layer.rs build() + metric dispatch)."""
     pocket, board3, h1, h2 = dedupe_canonical(pocket, board3)
     kt = turn.centroids.shape[0]
+    turn_lk = turn.lookup.device()  # ship the lookup table ONCE
     feats = []
     for i in range(0, len(pocket), chunk):
         feats.append(np.asarray(child_cluster_histograms(
             jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board3[i:i + chunk]),
-            turn.lookup, kt,
+            turn_lk, kt,
         )))
         if (i // chunk) % 32 == 0:
             print(f"  flop histograms {i}/{len(pocket)}", flush=True)

@@ -78,7 +78,10 @@ def sinkhorn_cost(mu: jnp.ndarray, nu: jnp.ndarray, cost: jnp.ndarray,
         done = done | (df + dg < hp.tolerance)
         return f, g, done
 
-    done0 = jnp.zeros(mu.shape[0], bool)
+    # all-False, but derived from mu so the carry keeps mu's per-shard
+    # varying type under shard_map (a plain zeros literal is unvarying
+    # and trips the scan carry-type check; see parallel/cluster.py)
+    done0 = mu.sum(-1) < -1.0
     f, g, _ = jax.lax.fori_loop(0, hp.iterations, body, (f, g, done0))
 
     # cost = Σ_{x,y} exp(f(x)) · [exp(−C/T)·C](x,y) · exp(g(y)) — expressed

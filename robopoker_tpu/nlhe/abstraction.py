@@ -84,8 +84,10 @@ class LookupBucket:
     """
 
     def __init__(self, flop_lookup=None, turn_lookup=None):
-        self.flop = flop_lookup
-        self.turn = turn_lookup
+        # device residency up front: eager callers (serving, litmus) would
+        # otherwise re-ship the tables on every policy query
+        self.flop = flop_lookup.device() if flop_lookup is not None else None
+        self.turn = turn_lookup.device() if turn_lookup is not None else None
 
     @classmethod
     def load(cls, out_dir):

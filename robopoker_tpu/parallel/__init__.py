@@ -1,5 +1,10 @@
-"""Mesh/sharding utilities and the multi-chip training step."""
+"""Mesh/sharding utilities, multi-chip training and clustering."""
 
+from .cluster import (make_sharded_assign, make_sharded_recompute,
+                      sharded_assign, sharded_cluster)
 from .train import make_mesh, make_sharded_nlhe_step
 
-__all__ = ["make_mesh", "make_sharded_nlhe_step"]
+__all__ = [
+    "make_mesh", "make_sharded_nlhe_step", "make_sharded_assign",
+    "make_sharded_recompute", "sharded_assign", "sharded_cluster",
+]

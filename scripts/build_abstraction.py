@@ -85,29 +85,47 @@ def main():
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=2048)
     ap.add_argument("--out", default="artifacts/abstraction")
+    ap.add_argument("--streets", default="turn,flop",
+                    help="comma list; 'flop' alone reuses <out>/turn.npz")
     args = ap.parse_args()
 
     import jax
 
     from robopoker_tpu.lloyd import cluster_flop, cluster_turn
+    from robopoker_tpu.lloyd.lookup import IsoLookup
+    from robopoker_tpu.lloyd.pipeline import StreetArtifacts
     from robopoker_tpu.pokerkit.hyperparams import KmeansHyperParams
 
     hp = KmeansHyperParams(iterations=args.iters)
     key = jax.random.PRNGKey(0)
     out = pathlib.Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
+    streets = set(args.streets.split(","))
 
-    print("== turn street ==", flush=True)
-    p4, b4 = canonical_sample(4, args.budget)
-    t0 = time.time()
-    turn = cluster_turn(p4, b4, k=args.k, key=key, chunk=args.chunk, hp=hp)
-    print(f"turn clustered in {time.time()-t0:.0f}s", flush=True)
-    np.savez_compressed(
-        out / "turn.npz", centroids=turn.centroids, metric=turn.metric,
-        assignment=turn.assignment,
-        lookup_key1=turn.lookup.key1, lookup_key2=turn.lookup.key2,
-        lookup_value=turn.lookup.value,
-    )
+    if "turn" in streets:
+        print("== turn street ==", flush=True)
+        p4, b4 = canonical_sample(4, args.budget)
+        t0 = time.time()
+        turn = cluster_turn(p4, b4, k=args.k, key=key, chunk=args.chunk, hp=hp)
+        print(f"turn clustered in {time.time()-t0:.0f}s", flush=True)
+        np.savez_compressed(
+            out / "turn.npz", centroids=turn.centroids, metric=turn.metric,
+            assignment=turn.assignment,
+            lookup_key1=turn.lookup.key1, lookup_key2=turn.lookup.key2,
+            lookup_value=turn.lookup.value,
+        )
+    else:
+        with np.load(out / "turn.npz") as z:
+            turn = StreetArtifacts(
+                2, z["centroids"], IsoLookup(
+                    z["lookup_key1"], z["lookup_key2"], z["lookup_value"]
+                ), z["metric"], z["assignment"],
+            )
+        print(f"turn artifact loaded: {turn.centroids.shape[0]} clusters, "
+              f"{len(turn.assignment)} points", flush=True)
+
+    if "flop" not in streets:
+        return
 
     print("== flop street ==", flush=True)
     p3, b3 = canonical_sample(3, args.budget // 2 if args.budget else 0)

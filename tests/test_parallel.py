@@ -65,3 +65,47 @@ def test_replicas_stay_identical_across_8_shards():
         assert np.array_equal(np.asarray(s.data), vbase)
     # and learning actually happened across shards
     assert (np.abs(base).sum(axis=1) > 0).sum() > 0
+
+
+# --- mesh-sharded clustering (SURVEY §2.5 P2) ---------------------------------
+
+def test_sharded_assign_matches_single_device():
+    import numpy as np
+    from robopoker_tpu.lloyd.kmeans import EmdSpec, assign
+    from robopoker_tpu.parallel import make_mesh, sharded_assign
+
+    rng = np.random.default_rng(0)
+    pts = rng.random((97, 16)).astype(np.float32)  # non-divisible N → pad path
+    pts /= pts.sum(1, keepdims=True)
+    cents = rng.random((8, 16)).astype(np.float32)
+    cents /= cents.sum(1, keepdims=True)
+    cost = np.abs(np.arange(16)[:, None] - np.arange(16)[None, :]).astype(
+        np.float32) / 16.0
+
+    mesh = make_mesh(8)
+    for spec in (EmdSpec("variation"), EmdSpec("sinkhorn", cost=cost)):
+        a1 = np.asarray(assign(jnp.asarray(pts), jnp.asarray(cents), spec,
+                               chunk=32))
+        a8 = np.asarray(sharded_assign(jnp.asarray(pts), jnp.asarray(cents),
+                                       spec, mesh, chunk=32))
+        assert np.array_equal(a1, a8), spec.kind
+
+
+def test_sharded_cluster_reproduces_single_device():
+    import numpy as np
+    from robopoker_tpu.lloyd.kmeans import EmdSpec, cluster
+    from robopoker_tpu.parallel import make_mesh, sharded_cluster
+    from robopoker_tpu.pokerkit.hyperparams import KmeansHyperParams
+
+    rng = np.random.default_rng(1)
+    pts = rng.random((128, 12)).astype(np.float32)
+    pts /= pts.sum(1, keepdims=True)
+    key = jax.random.PRNGKey(3)
+    hp = KmeansHyperParams(iterations=6)
+    spec = EmdSpec("variation")
+
+    r1 = cluster(jnp.asarray(pts), 6, spec, key, hp, chunk=64)
+    r8 = sharded_cluster(jnp.asarray(pts), 6, spec, key, make_mesh(8), hp,
+                         chunk=64)
+    assert np.array_equal(r1.assignment, r8.assignment)
+    assert np.allclose(r1.centroids, r8.centroids, atol=1e-6)
