@@ -37,6 +37,12 @@ def main(argv=None):
     t.add_argument("--mesh", type=int, default=0,
                    help="data-parallel devices (0 = single chip)")
     t.add_argument("--table-log2", type=int, default=20)
+    t.add_argument("--work-cap", type=int, default=8192)
+    t.add_argument("--cap", type=int, default=1536)
+    t.add_argument("--max-levels", type=int, default=8)
+    t.add_argument("--abstraction", default=None,
+                   help="dir with turn.npz/flop.npz → LookupBucket "
+                        "(default: proxy buckets)")
 
     c = sub.add_parser("cluster", help="abstraction pipeline (reduced or full)")
     c.add_argument("--samples", type=int, default=4096)
@@ -70,9 +76,28 @@ def main(argv=None):
             from .parallel import make_mesh
 
             mesh = make_mesh(args.mesh)
+        bucket = None
+        run_kw = {}
+        if args.abstraction:
+            from .nlhe.abstraction import LookupBucket
+            from .pokerkit.regime import RunConfig
+
+            bucket = LookupBucket.load(args.abstraction)
+            print(f"abstraction artifacts: {args.abstraction} "
+                  f"(turn={'yes' if bucket.turn else 'no'}, "
+                  f"flop={'yes' if bucket.flop else 'no'})")
+            # bucket provider is part of the config fingerprint: a
+            # checkpoint trained on artifacts must not resume on proxy
+            run_kw["run"] = RunConfig(bucket=f"lookup:{args.abstraction}")
         session = FastSession(
             workdir=args.workdir,
-            trainer=TrainerConfig(batch=args.batch, table_log2=args.table_log2),
+            **run_kw,
+            trainer=TrainerConfig(
+                batch=args.batch, table_log2=args.table_log2,
+                work_cap=args.work_cap, cap=args.cap,
+                max_levels=args.max_levels,
+            ),
+            bucket_fn=bucket,
             mesh=mesh,
         )
         session.train(args.epochs)

@@ -159,11 +159,16 @@ def cluster(points: jnp.ndarray, k: int, spec: EmdSpec, key: jnp.ndarray,
             chunk: int = 4096, weights: jnp.ndarray | None = None) -> KmeansResult:
     """Full clustering pipeline: kmeans++ → iterate assign/recompute until
     the iteration budget or drift threshold (ref: kmeans.rs:85-113)."""
+    import time as _time
+
+    t0 = _time.time()
     centroids = kmeans_pp_init(points, k, spec, key)
+    print(f"  kmeans++ init ({k} picks): {_time.time()-t0:.0f}s", flush=True)
     drift = np.inf
     it = 0
     assignment = None
     for it in range(hp.iterations):
+        t0 = _time.time()
         assignment = assign(points, centroids, spec, chunk=chunk)
         new = recompute(points, assignment, k, weights)
         # reseed empty clusters from the previous centroid (stability)
@@ -171,6 +176,8 @@ def cluster(points: jnp.ndarray, k: int, spec: EmdSpec, key: jnp.ndarray,
         new = jnp.where(empty, centroids, new)
         drift = float(jnp.abs(new - centroids).sum(axis=1).mean())
         centroids = new
+        print(f"  kmeans iter {it}: drift {drift:.5f} "
+              f"({_time.time()-t0:.0f}s)", flush=True)
         if drift < hp.drift_threshold:
             break
     return KmeansResult(

@@ -82,7 +82,23 @@ def sinkhorn_cost(mu: jnp.ndarray, nu: jnp.ndarray, cost: jnp.ndarray,
     # varying type under shard_map (a plain zeros literal is unvarying
     # and trips the scan carry-type check; see parallel/cluster.py)
     done0 = mu.sum(-1) < -1.0
-    f, g, _ = jax.lax.fori_loop(0, hp.iterations, body, (f, g, done0))
+
+    # device-side early exit: the reference's tolerance stop terminates
+    # ~91% of pairs well before the 128-iteration cap (ref:
+    # lloyd/src/hyperparams/sinkhorn.rs calibration note); a fixed-trip
+    # fori_loop would pay the cap on every batch, which dominates the
+    # flop-street assignment phase
+    def w_cond(carry):
+        t, (f, g, done) = carry
+        return (t < hp.iterations) & ~done.all()
+
+    def w_body(carry):
+        t, inner = carry
+        return t + 1, body(t, inner)
+
+    _, (f, g, _) = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), (f, g, done0))
+    )
 
     # cost = Σ_{x,y} exp(f(x)) · [exp(−C/T)·C](x,y) · exp(g(y)) — expressed
     # as e_f · M · e_g matmuls so no [P, n, n] transport plan materializes
