@@ -75,8 +75,17 @@ class FastSession:
 
     def snapshot(self) -> None:
         t0 = time.monotonic()
-        save_table(self.ckpt, self.table, self.run)
+        import jax.numpy as jnp
+
+        # per-epoch positive regret mass: the convergence curve the
+        # reference's training dashboard plots (README "sum regret ↓136")
+        sum_regret = float(jnp.maximum(self.table.regret, 0.0).sum()) / max(
+            int(self.table.epoch), 1
+        )
+        save_table(self.ckpt, self.table, self.run,
+                   extra={"sum_regret": sum_regret})
         self.metrics.set("mccfr_flush_duration", time.monotonic() - t0)
+        self.metrics.set("mccfr_sum_regret", sum_regret)
 
     def train(self, epochs: int | None = None) -> None:
         """Step until `epochs`, interrupt, or TRAIN_DURATION; flush every

@@ -65,3 +65,66 @@ def load_table(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
             key_hi=jnp.asarray(z["key_hi"]),
             epoch=jnp.asarray(z["epoch"]),
         )
+
+
+def save_compact(path: str | pathlib.Path, table: InfoTable,
+                 config: RunConfig) -> None:
+    """Occupied-rows-only checkpoint — small enough to commit to version
+    control so a trained blueprint survives environment resets.
+
+    The full table is sparse (a few-percent load of 2^20+ rows); storing
+    (row index, accumulators, key words) for occupied rows cuts the file
+    by the inverse load factor. ``load_compact`` reconstructs the exact
+    dense table, so probing resolution is unchanged.
+    """
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    d = {k: np.asarray(v) for k, v in table._asdict().items()}
+    occ = (
+        (d["key_lo"] != 0) | (d["key_hi"] != 0) | (d["visits"] > 0)
+        | (np.abs(d["regret"]).sum(1) > 0) | (np.abs(d["weight"]).sum(1) > 0)
+    )
+    rows = np.nonzero(occ)[0].astype(np.int64)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".npz")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(
+                f, fingerprint=config.fingerprint(),
+                capacity=np.int64(table.capacity), rows=rows,
+                regret=d["regret"][rows], weight=d["weight"][rows],
+                payoff=d["payoff"][rows], visits=d["visits"][rows],
+                key_lo=d["key_lo"][rows], key_hi=d["key_hi"][rows],
+                epoch=d["epoch"],
+            )
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_compact(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
+    """Reconstruct the dense InfoTable from a compact checkpoint."""
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        check_fingerprint(str(z["fingerprint"]), config)
+        t = int(z["capacity"])
+        rows = z["rows"]
+
+        def dense(name, cols, dtype):
+            shape = (t, cols) if cols else (t,)
+            a = np.zeros(shape, dtype)
+            a[rows] = z[name]
+            return jnp.asarray(a)
+
+        from ..nlhe.table import N_COLS
+
+        return InfoTable(
+            regret=dense("regret", N_COLS, np.float32),
+            weight=dense("weight", N_COLS, np.float32),
+            payoff=dense("payoff", N_COLS, np.float32),
+            visits=dense("visits", 0, np.int32),
+            key_lo=dense("key_lo", 0, np.int32),
+            key_hi=dense("key_hi", 0, np.int32),
+            epoch=jnp.asarray(z["epoch"]),
+        )

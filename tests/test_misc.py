@@ -71,3 +71,29 @@ def test_cli_status_reset(tmp_path):
 
     assert main(["status", "--workdir", str(tmp_path)]) == 0
     assert main(["reset", "--workdir", str(tmp_path)]) == 0
+
+
+def test_compact_checkpoint_roundtrip(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from robopoker_tpu.nlhe.table import init_table
+    from robopoker_tpu.pokerkit.regime import RunConfig
+    from robopoker_tpu.utils.checkpoint import load_compact, save_compact
+
+    t = init_table(12)
+    # scatter some occupied rows
+    rows = jnp.asarray([3, 77, 4000])
+    t = t._replace(
+        regret=t.regret.at[rows, 2].set(5.0),
+        weight=t.weight.at[rows, 1].set(0.25),
+        visits=t.visits.at[rows].set(7),
+        key_lo=t.key_lo.at[rows].set(jnp.asarray([11, 22, 33])),
+        key_hi=t.key_hi.at[rows].set(jnp.asarray([44, 55, 66])),
+        epoch=jnp.asarray(42, jnp.int32),
+    )
+    cfg = RunConfig()
+    save_compact(tmp_path / "bp.npz", t, cfg)
+    t2 = load_compact(tmp_path / "bp.npz", cfg)
+    for a, b in zip(t, t2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
