@@ -23,6 +23,23 @@ import pathlib
 import sys
 
 
+
+def _bucket_session(args):
+    """FastSession + bucket_fn matching the training fingerprint."""
+    from .nlhe.forge import FastSession
+
+    bucket = None
+    run_kw = {}
+    if getattr(args, "abstraction", None):
+        from .nlhe.abstraction import LookupBucket
+        from .pokerkit.regime import RunConfig
+
+        bucket = LookupBucket.load(args.abstraction)
+        run_kw["run"] = RunConfig(bucket=f"lookup:{args.abstraction}")
+    session = FastSession(workdir=args.workdir, bucket_fn=bucket, **run_kw)
+    return session, (bucket or None)
+
+
 def main(argv=None):
     from .utils.cache import enable_compilation_cache
 
@@ -58,10 +75,12 @@ def main(argv=None):
     l = sub.add_parser("litmus")
     l.add_argument("--scenarios", default=None)
     l.add_argument("--workdir", default="artifacts")
+    l.add_argument("--abstraction", default=None)
 
     v = sub.add_parser("serve", help="HTTP strategy/training API (portal)")
     v.add_argument("--port", type=int, default=8080)
     v.add_argument("--workdir", default="artifacts")
+    v.add_argument("--abstraction", default=None)
 
     sub.add_parser("bench")
 
@@ -142,25 +161,23 @@ def main(argv=None):
         return 0
 
     if args.cmd == "litmus":
-        from .nlhe.forge import FastSession
         from .serving import litmus
         from .serving.policy import Blueprint
 
-        session = FastSession(workdir=args.workdir)
+        session, bucket = _bucket_session(args)
         scen = args.scenarios or str(
             pathlib.Path(__file__).parent / "serving" / "scenarios.json"
         )
-        md, ok = litmus.run(Blueprint(session.table), scen)
+        md, ok = litmus.run(Blueprint(session.table, bucket_fn=bucket), scen)
         print(md)
         return 0 if ok else 1
 
     if args.cmd == "serve":
-        from .nlhe.forge import FastSession
         from .serving import api
         from .serving.policy import Blueprint, Resolver
 
-        session = FastSession(workdir=args.workdir)
-        bp = Blueprint(session.table)
+        session, bucket = _bucket_session(args)
+        bp = Blueprint(session.table, bucket_fn=bucket)
         api.run(bp, Resolver(bp), workdir=args.workdir, port=args.port)
         return 0
 

@@ -118,13 +118,24 @@ class LookupBucket:
         base = proxy_bucket(hole, board, street)
         words = canonical_key(hole, board)
         h1, h2 = hash_key(words)
+        # lookup MISSES (classes outside a sampled artifact) fall back to
+        # the proxy bucket — a partial artifact refines where it has data
+        # and degrades to the proxy elsewhere, instead of collapsing every
+        # uncovered class onto cluster 0 (which would erase nearly all
+        # card information at low artifact coverage). Fallback ids are
+        # shifted into a disjoint tag range (street+4)<<8 so a proxy
+        # index can never alias a trained cluster id on the same street.
         out = base
         if self.flop is not None:
-            cl = lookup_device(self.flop, h1, h2)
-            out = jnp.where(street == 1, (1 << 8) | jnp.clip(cl, 0, 255), out)
+            cl = lookup_device(self.flop, h1, h2, default=-1)
+            hit = (street == 1) & (cl >= 0)
+            out = jnp.where(hit, (1 << 8) | jnp.clip(cl, 0, 255), out)
+            out = jnp.where((street == 1) & (cl < 0), base + (4 << 8), out)
         if self.turn is not None:
-            cl = lookup_device(self.turn, h1, h2)
-            out = jnp.where(street == 2, (2 << 8) | jnp.clip(cl, 0, 255), out)
+            cl = lookup_device(self.turn, h1, h2, default=-1)
+            hit = (street == 2) & (cl >= 0)
+            out = jnp.where(hit, (2 << 8) | jnp.clip(cl, 0, 255), out)
+            out = jnp.where((street == 2) & (cl < 0), base + (4 << 8), out)
         return out
 
     def coverage(self, hole, board, street) -> float:

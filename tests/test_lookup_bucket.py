@@ -61,3 +61,31 @@ def test_collision_stats():
     assert stats["sampled"] == 100
     assert stats["collided"] == 0        # empty table: no live collisions
     assert stats["occupancy"] == 0.0
+
+
+def test_lookup_bucket_miss_falls_back_to_proxy():
+    """Classes outside the artifact resolve to the proxy bucket in a
+    disjoint tag range — never to cluster 0, never aliasing trained ids."""
+    key = jax.random.PRNGKey(5)
+    p4, b4 = sample_observations(key, 64, 4, rng_seed=30)
+    art = cluster_turn(p4, b4, k=4, key=key, chunk=64,
+                       hp=KmeansHyperParams(iterations=2))
+    bucket = LookupBucket(turn_lookup=art.lookup)
+
+    # fresh observations almost surely outside the 64-point artifact
+    p_new, b_new = sample_observations(key, 128, 4, rng_seed=31)
+    board5 = np.concatenate(
+        [b_new, np.full((len(b_new), 1), -1, np.int32)], axis=1
+    )
+    street = jnp.full(len(p_new), 2, jnp.int32)
+    got = np.asarray(bucket(jnp.asarray(p_new), jnp.asarray(board5), street))
+    prox = np.asarray(proxy_bucket(jnp.asarray(p_new), jnp.asarray(board5),
+                                   street))
+    trained = (got >> 8) == 2
+    miss = ~trained
+    assert miss.any()  # 64-point artifact can't cover fresh samples
+    # misses carry proxy identity shifted into the (street+4) tag range
+    assert np.array_equal(got[miss], prox[miss] + (4 << 8))
+    # trained hits use genuine cluster ids
+    if trained.any():
+        assert ((got[trained] & 0xFF) < 4).all()
