@@ -283,7 +283,8 @@ def make_nlhe_step(
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
              valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
              dropped, fallbacks, work_states, work_tree, work_valid,
-             work_slot) = lcarry
+             work_slot, level_live, level_emit) = lcarry
+            level_live = level_live.at[lvl].set(work_valid.sum())
             lkey = jax.random.fold_in(ekey, 100 + lvl)
 
             klo, khi, legal = lookup(work_states)
@@ -324,6 +325,7 @@ def make_nlhe_step(
             child_pos = grank                                    # next worklist
             ok = bflat & (child_slot < CAP) & (child_pos < W)
             dropped = dropped + (bflat & ~ok).sum()
+            level_emit = level_emit.at[lvl].set(bflat.sum())
             n_slots = jnp.minimum(n_slots + per_tree, CAP)
 
             # --- this level's slot meta (flat scatter, spill drops) -------
@@ -340,45 +342,34 @@ def make_nlhe_step(
             parent_reach = reach.reshape(-1)[
                 jnp.minimum(sl_flat, SPILL - 1)
             ]
-            cs3 = child_slot.reshape(W, N_COLS)
-            cp3 = child_pos.reshape(W, N_COLS)
 
-            # Phase 1 — cheap: apply each column, scatter the *pre-roll*
-            # children into the compacted next worklist (rolling happens
-            # once for the whole level below, not once per column).
-            def expand_col(col, carry):
-                (parent, pcol, level_of, valid, next_states, next_tree,
-                 next_valid, next_slot, next_pr) = carry
-                m = jnp.take(ok3, col, axis=1)
-                cs = jnp.take(cs3, col, axis=1)
-                cp = jnp.take(cp3, col, axis=1)
-                st = G.apply_cols(
-                    work_states, jnp.full(W, col, jnp.int32), MENU, m
-                )
-                csf = jnp.where(m, work_tree * CAP + cs, SPILL)
-                colf = jnp.zeros(W, jnp.int32) + col
-                parent = flat_scat(parent, csf, work_slot, SPILL)
-                pcol = flat_scat(pcol, csf, colf, SPILL)
-                level_of = flat_scat(
-                    level_of, csf, jnp.full(W, lvl + 1, jnp.int32), SPILL
-                )
-                valid = flat_scat(valid, csf, jnp.ones(W, bool), SPILL)
+            # Phase 1 — cheap: apply ALL columns in one [W*9] lane-major
+            # pass (lane*9+col, matching `bflat`'s layout) and scatter the
+            # *pre-roll* children into the compacted next worklist
+            # (rolling happens once for the whole level below). One wide
+            # vector pass instead of a 9-iteration fori keeps the program
+            # short and the VPU busy.
+            rep = lambda a: jnp.repeat(a, N_COLS, axis=0)
+            col_f = jnp.tile(jnp.arange(N_COLS, dtype=jnp.int32), W)
+            states_rep = jax.tree.map(rep, work_states)
+            st_all = G.apply_cols(states_rep, col_f, MENU, ok)
+            tree_rep = rep(work_tree)
+            csf = jnp.where(ok, tree_rep * CAP + child_slot, SPILL)
+            parent = flat_scat(parent, csf, rep(work_slot), SPILL)
+            pcol = flat_scat(pcol, csf, col_f, SPILL)
+            level_of = flat_scat(
+                level_of, csf, jnp.full(W * N_COLS, lvl + 1, jnp.int32), SPILL
+            )
+            valid = flat_scat(valid, csf, jnp.ones(W * N_COLS, bool), SPILL)
 
-                cpw = jnp.where(m, cp, W)
-                next_states = work_scat_state(next_states, cpw, st, W)
-                next_tree = work_scat(next_tree, cpw, work_tree, W)
-                next_valid = work_scat(next_valid, cpw, jnp.ones(W, bool), W)
-                next_slot = work_scat(next_slot, cpw, cs, W)
-                next_pr = work_scat(next_pr, cpw, parent_reach, W)
-                return (parent, pcol, level_of, valid, next_states,
-                        next_tree, next_valid, next_slot, next_pr)
-
-            carry = (parent, pcol, level_of, valid, work_states, work_tree,
-                     jnp.zeros(W, bool), jnp.zeros(W, jnp.int32),
-                     jnp.zeros(W, jnp.float32))
-            (parent, pcol, level_of, valid, next_states, next_tree,
-             next_valid, next_slot, next_pr) = jax.lax.fori_loop(
-                0, N_COLS, expand_col, carry
+            cpw = jnp.where(ok, child_pos, W)
+            ones_c = jnp.ones(W * N_COLS, bool)
+            next_states = work_scat_state(work_states, cpw, st_all, W)
+            next_tree = work_scat(work_tree, cpw, tree_rep, W)
+            next_valid = work_scat(jnp.zeros(W, bool), cpw, ones_c, W)
+            next_slot = work_scat(jnp.zeros(W, jnp.int32), cpw, child_slot, W)
+            next_pr = work_scat(
+                jnp.zeros(W, jnp.float32), cpw, rep(parent_reach), W
             )
 
             # Phase 2 — one roll + settle for the whole level's children
@@ -399,7 +390,7 @@ def make_nlhe_step(
             return (parent, pcol, ratio_in, reach, is_term, term_value,
                     level_of, valid, row_of, klo_of, khi_of, legal_of,
                     branch_of, n_slots, dropped, fallbacks, work_states,
-                    work_tree, work_valid, work_slot)
+                    work_tree, work_valid, work_slot, level_live, level_emit)
 
         def level_cond(carry):
             lvl, lcarry = carry
@@ -410,17 +401,19 @@ def make_nlhe_step(
             return lvl + 1, level_body(lvl, lcarry)
 
         fallbacks = jnp.zeros((), jnp.int32)
+        level_live = jnp.zeros(C.max_levels, jnp.int32)
+        level_emit = jnp.zeros(C.max_levels, jnp.int32)
         _, (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
             valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
             dropped, fallbacks, work_states, work_tree, work_valid,
-            work_slot) = (
+            work_slot, level_live, level_emit) = (
             jax.lax.while_loop(
                 level_cond, level_wbody,
                 (jnp.int32(0),
                  (parent, pcol, ratio_in, reach, is_term, term_value,
                   level_of, valid, row_of, klo_of, khi_of, legal_of,
                   branch_of, n_slots, dropped, fallbacks, work_states,
-                  work_tree, work_valid, work_slot)),
+                  work_tree, work_valid, work_slot, level_live, level_emit)),
             )
         )
         SPILLW = B * CAP
@@ -575,6 +568,12 @@ def make_nlhe_step(
             "fallbacks": fallbacks,
             "unfinished_tail": unfinished.sum(),
             "touched_rows": occ.sum(),
+            # frontier width entering each level: the data that sizes
+            # segmented work_cap (narrow early/late levels need not pay
+            # the peak level's lane count)
+            "level_live": level_live,
+            "level_emit": level_emit,
+            "tail_live": work_valid.sum(),
         }
         if axis_name is not None:
             metrics = {
