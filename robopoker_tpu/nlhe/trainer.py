@@ -63,6 +63,11 @@ class TrainerConfig:
     tail_steps: int = 16       # on-policy sampled steps for deep lines
     table_log2: int = 20
     n_probes: int = 8          # open-addressing ladder depth (table.probe_rows)
+    # segmented worklists: per-level widths (len == max_levels); the level
+    # loop unrolls with static shapes so narrow early/late levels stop
+    # paying the peak level's lane count. None = constant work_cap under a
+    # while_loop (smaller program, more wasted lanes).
+    level_caps: tuple[int, ...] | None = None
     # legacy alias (pre-compaction configs passed per-tree level width)
     level_cap: int | None = None
 
@@ -71,6 +76,29 @@ class TrainerConfig:
             object.__setattr__(
                 self, "work_cap", max(self.batch * self.level_cap // 4, 256)
             )
+        if self.level_caps is not None:
+            assert len(self.level_caps) == self.max_levels, (
+                "level_caps must give one width per level"
+            )
+
+
+# per-tree children emitted at each level, measured UNCLIPPED (generous
+# caps) during the pluribus warmup phase (full branching — the widest
+# case) via the level_emit metric; margin covers epoch-to-epoch variance
+EMIT_PROFILE = (7.0, 17.0, 33.0, 69.0, 116.0, 112.0, 56.0, 8.0)
+
+
+def segmented_caps(batch: int, max_levels: int = 8,
+                   margin: float = 1.25, align: int = 256,
+                   profile: tuple = EMIT_PROFILE) -> tuple[int, ...]:
+    """Per-level worklist widths from the measured emit profile."""
+    prof = list(profile[:max_levels])
+    prof += [prof[-1]] * (max_levels - len(prof))
+    caps = tuple(
+        max(align, int(-(-batch * p * margin // align)) * align)
+        for p in prof
+    )
+    return caps
 
 
 def regret_matching_rows(regret, legal):
@@ -261,31 +289,35 @@ def make_nlhe_step(
         valid = valid.at[:, 0].set(True)
         n_slots = n_slots + 1
 
-        # --- worklist [W]: live level nodes across all trees --------------
-        def pad_work(states_b):
-            """Place the B roots at worklist positions 0..B-1."""
-            assert B <= W, "work_cap must cover the root level"
-            return jax.tree.map(
-                lambda a: jnp.concatenate(
-                    [a, jnp.zeros((W - B,) + a.shape[1:], a.dtype)], axis=0
-                ),
-                states_b,
+        # --- worklists: live level nodes across all trees ------------------
+        def dead_work(n):
+            """Fresh [n] worklist of dead lanes: a terminal state (one seat
+            folded) so unwritten lanes exit rolls immediately and settle
+            NaN-free; tree/slot 0 is harmless because their valid flag is
+            False everywhere downstream."""
+            st = jax.tree.map(
+                lambda a: jnp.zeros((n,) + a.shape[1:], a.dtype), roots
             )
+            st = st._replace(
+                board=jnp.full((n, G.N_BOARD), -1, jnp.int8),
+                status=st.status.at[:, 0].set(G.FOLDING),
+            )
+            return (st, jnp.zeros(n, jnp.int32), jnp.zeros(n, bool),
+                    jnp.zeros(n, jnp.int32))
 
-        work_states = pad_work(roots)
-        work_tree = jnp.concatenate(
-            [jnp.arange(B, dtype=jnp.int32), jnp.zeros(W - B, jnp.int32)]
-        )
-        work_valid = jnp.concatenate([~term0, jnp.zeros(W - B, bool)])
-        work_slot = jnp.zeros(W, jnp.int32)
-
-        def level_body(lvl, lcarry):
+        def level_pass(lvl, lkey, meta, work, w_out):
+            """Expand one BFS level: a [w_in] frontier worklist becomes a
+            [w_out] children worklist. Widths are static per call site —
+            the while_loop driver uses w_in == w_out == work_cap; the
+            segmented driver unrolls levels with per-level widths sized to
+            the measured frontier profile (``level_emit`` metric), so
+            narrow early/late levels stop paying the peak level's lanes."""
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
              valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-             dropped, fallbacks, work_states, work_tree, work_valid,
-             work_slot, level_live, level_emit) = lcarry
+             dropped, fallbacks, level_live, level_emit) = meta
+            work_states, work_tree, work_valid, work_slot = work
+            w_in = work_tree.shape[0]
             level_live = level_live.at[lvl].set(work_valid.sum())
-            lkey = jax.random.fold_in(ekey, 100 + lvl)
 
             klo, khi, legal = lookup(work_states)
             row, fb = probe_rows(table.key_lo, table.key_hi, klo, khi,
@@ -302,7 +334,8 @@ def make_nlhe_step(
                 keep = legal & above
                 keep = jnp.where(keep.any(-1, keepdims=True), keep, legal)
                 if sampling.scheme == PLURIBUS:
-                    eu = jax.random.uniform(jax.random.fold_in(lkey, 5), (W,))
+                    eu = jax.random.uniform(jax.random.fold_in(lkey, 5),
+                                            (w_in,))
                     no_prune = (t < sampling.warmup) | (eu < sampling.explore)
                     branch = jnp.where(no_prune[:, None], legal, keep)
                 else:
@@ -311,7 +344,7 @@ def make_nlhe_step(
                 branch = legal
 
             # --- allocation: global compact rank + per-tree slot rank -----
-            bflat = branch.reshape(W * N_COLS)
+            bflat = branch.reshape(w_in * N_COLS)
             grank = jnp.cumsum(bflat) - 1                       # global order
             tree_of_child = jnp.repeat(work_tree, N_COLS)
             per_tree = jnp.zeros(B + 1, jnp.int32).at[tree_of_child].add(
@@ -323,7 +356,7 @@ def make_nlhe_step(
             tree_rank = grank - tree_offset[tree_of_child]
             child_slot = n_slots[tree_of_child] + tree_rank      # per-tree
             child_pos = grank                                    # next worklist
-            ok = bflat & (child_slot < CAP) & (child_pos < W)
+            ok = bflat & (child_slot < CAP) & (child_pos < w_out)
             dropped = dropped + (bflat & ~ok).sum()
             level_emit = level_emit.at[lvl].set(bflat.sum())
             n_slots = jnp.minimum(n_slots + per_tree, CAP)
@@ -332,7 +365,7 @@ def make_nlhe_step(
             sl_flat = jnp.where(
                 work_valid, work_tree * CAP + work_slot, SPILL
             )
-            ok3 = ok.reshape(W, N_COLS)
+            ok3 = ok.reshape(w_in, N_COLS)
             row_of = flat_scat(row_of, sl_flat, row, SPILL)
             klo_of = flat_scat(klo_of, sl_flat, klo, SPILL)
             khi_of = flat_scat(khi_of, sl_flat, khi, SPILL)
@@ -343,14 +376,14 @@ def make_nlhe_step(
                 jnp.minimum(sl_flat, SPILL - 1)
             ]
 
-            # Phase 1 — cheap: apply ALL columns in one [W*9] lane-major
+            # Phase 1 — cheap: apply ALL columns in one [w_in*9] lane-major
             # pass (lane*9+col, matching `bflat`'s layout) and scatter the
             # *pre-roll* children into the compacted next worklist
             # (rolling happens once for the whole level below). One wide
             # vector pass instead of a 9-iteration fori keeps the program
             # short and the VPU busy.
             rep = lambda a: jnp.repeat(a, N_COLS, axis=0)
-            col_f = jnp.tile(jnp.arange(N_COLS, dtype=jnp.int32), W)
+            col_f = jnp.tile(jnp.arange(N_COLS, dtype=jnp.int32), w_in)
             states_rep = jax.tree.map(rep, work_states)
             st_all = G.apply_cols(states_rep, col_f, MENU, ok)
             tree_rep = rep(work_tree)
@@ -358,18 +391,21 @@ def make_nlhe_step(
             parent = flat_scat(parent, csf, rep(work_slot), SPILL)
             pcol = flat_scat(pcol, csf, col_f, SPILL)
             level_of = flat_scat(
-                level_of, csf, jnp.full(W * N_COLS, lvl + 1, jnp.int32), SPILL
+                level_of, csf, jnp.full(w_in * N_COLS, lvl + 1, jnp.int32),
+                SPILL
             )
-            valid = flat_scat(valid, csf, jnp.ones(W * N_COLS, bool), SPILL)
+            valid = flat_scat(valid, csf, jnp.ones(w_in * N_COLS, bool),
+                              SPILL)
 
-            cpw = jnp.where(ok, child_pos, W)
-            ones_c = jnp.ones(W * N_COLS, bool)
-            next_states = work_scat_state(work_states, cpw, st_all, W)
-            next_tree = work_scat(work_tree, cpw, tree_rep, W)
-            next_valid = work_scat(jnp.zeros(W, bool), cpw, ones_c, W)
-            next_slot = work_scat(jnp.zeros(W, jnp.int32), cpw, child_slot, W)
+            cpw = jnp.where(ok, child_pos, w_out)
+            ones_c = jnp.ones(w_in * N_COLS, bool)
+            dstates, dtree, dvalid, dslot = dead_work(w_out)
+            next_states = work_scat_state(dstates, cpw, st_all, w_out)
+            next_tree = work_scat(dtree, cpw, tree_rep, w_out)
+            next_valid = work_scat(dvalid, cpw, ones_c, w_out)
+            next_slot = work_scat(dslot, cpw, child_slot, w_out)
             next_pr = work_scat(
-                jnp.zeros(W, jnp.float32), cpw, rep(parent_reach), W
+                jnp.zeros(w_out, jnp.float32), cpw, rep(parent_reach), w_out
             )
 
             # Phase 2 — one roll + settle for the whole level's children
@@ -383,39 +419,61 @@ def make_nlhe_step(
             is_term = flat_scat(is_term, csf, term, SPILL)
             term_value = flat_scat(term_value, csf, vv, SPILL)
 
-            work_states = st
-            work_tree = next_tree
-            work_valid = next_valid & ~term
-            work_slot = next_slot
-            return (parent, pcol, ratio_in, reach, is_term, term_value,
+            meta = (parent, pcol, ratio_in, reach, is_term, term_value,
                     level_of, valid, row_of, klo_of, khi_of, legal_of,
-                    branch_of, n_slots, dropped, fallbacks, work_states,
-                    work_tree, work_valid, work_slot, level_live, level_emit)
-
-        def level_cond(carry):
-            lvl, lcarry = carry
-            return (lvl < C.max_levels) & lcarry[18].any()
-
-        def level_wbody(carry):
-            lvl, lcarry = carry
-            return lvl + 1, level_body(lvl, lcarry)
+                    branch_of, n_slots, dropped, fallbacks, level_live,
+                    level_emit)
+            return meta, (st, next_tree, next_valid & ~term, next_slot)
 
         fallbacks = jnp.zeros((), jnp.int32)
         level_live = jnp.zeros(C.max_levels, jnp.int32)
         level_emit = jnp.zeros(C.max_levels, jnp.int32)
-        _, (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-            valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-            dropped, fallbacks, work_states, work_tree, work_valid,
-            work_slot, level_live, level_emit) = (
-            jax.lax.while_loop(
+        meta = (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+                valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
+                dropped, fallbacks, level_live, level_emit)
+        root_work = (roots, jnp.arange(B, dtype=jnp.int32), ~term0,
+                     jnp.zeros(B, jnp.int32))
+
+        if C.level_caps is not None:
+            # segmented: unrolled level passes, static per-level widths
+            work = root_work
+            for lvl in range(C.max_levels):
+                meta, work = level_pass(
+                    lvl, jax.random.fold_in(ekey, 100 + lvl), meta, work,
+                    C.level_caps[lvl],
+                )
+        else:
+            def pad_root(rw):
+                """Place the B roots at worklist positions 0..B-1."""
+                assert B <= W, "work_cap must cover the root level"
+                dstates, dtree, dvalid, dslot = dead_work(W)
+                pos = jnp.arange(B, dtype=jnp.int32)
+                return (work_scat_state(dstates, pos, rw[0], W),
+                        work_scat(dtree, pos, rw[1], W),
+                        work_scat(dvalid, pos, rw[2], W),
+                        work_scat(dslot, pos, rw[3], W))
+
+            def level_cond(carry):
+                lvl, _, work = carry
+                return (lvl < C.max_levels) & work[2].any()
+
+            def level_wbody(carry):
+                lvl, meta, work = carry
+                meta, work = level_pass(
+                    lvl, jax.random.fold_in(ekey, 100 + lvl), meta, work, W
+                )
+                return lvl + 1, meta, work
+
+            _, meta, work = jax.lax.while_loop(
                 level_cond, level_wbody,
-                (jnp.int32(0),
-                 (parent, pcol, ratio_in, reach, is_term, term_value,
-                  level_of, valid, row_of, klo_of, khi_of, legal_of,
-                  branch_of, n_slots, dropped, fallbacks, work_states,
-                  work_tree, work_valid, work_slot, level_live, level_emit)),
+                (jnp.int32(0), meta, pad_root(root_work)),
             )
-        )
+
+        (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
+         valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
+         dropped, fallbacks, level_live, level_emit) = meta
+        work_states, work_tree, work_valid, work_slot = work
+        w_tail = work_tree.shape[0]
         SPILLW = B * CAP
 
         # --- tail: deep lines become on-policy sampled values -------------
@@ -428,7 +486,7 @@ def make_nlhe_step(
         unfinished = work_valid & (ttail != G.TURN_TERMINAL)
         vtail = jnp.where(unfinished, 0.0, vtail)
         slf = jnp.where(work_valid, work_tree * CAP + work_slot, SPILLW)
-        is_term = flat_scat(is_term, slf, jnp.ones(W, bool), SPILLW)
+        is_term = flat_scat(is_term, slf, jnp.ones(w_tail, bool), SPILLW)
         term_value = flat_scat(term_value, slf, vtail, SPILLW)
 
         # --- upward value pass --------------------------------------------

@@ -71,6 +71,29 @@ def test_determinism():
     assert np.array_equal(a, b)
 
 
+def test_segmented_levels_train():
+    """The unrolled per-level-width driver learns like the while_loop one:
+    generous caps ⇒ zero drops; table rows accumulate regret."""
+    from robopoker_tpu.nlhe.trainer import segmented_caps
+
+    caps = segmented_caps(8, max_levels=4, align=64)
+    cfg = TrainerConfig(
+        batch=8, work_cap=2048, cap=256, max_levels=4,
+        roll_steps=4, tail_steps=8, table_log2=14, level_caps=caps,
+    )
+    table = init_table(cfg.table_log2)
+    step = make_nlhe_step(
+        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING, cfg
+    )
+    for i in range(4):
+        table, m = step(table, jax.random.PRNGKey(3))
+    assert int(m["dropped"]) == 0
+    assert int(m["nodes"]) > 8
+    assert np.isfinite(np.asarray(table.regret)).all()
+    nz = (np.abs(np.asarray(table.regret)).sum(axis=1) > 0).sum()
+    assert nz > 30
+
+
 def test_payoff_finite(stepped):
     table, _ = stepped
     # EVs are importance-weighted (π/q reach ratios exceed 1), so they can
