@@ -57,6 +57,9 @@ def main(argv=None):
     t.add_argument("--work-cap", type=int, default=8192)
     t.add_argument("--cap", type=int, default=1536)
     t.add_argument("--max-levels", type=int, default=8)
+    t.add_argument("--segmented", action="store_true",
+                   help="unrolled per-level worklist widths (measured "
+                        "emit profile) instead of constant work-cap")
     t.add_argument("--abstraction", default=None,
                    help="dir with turn.npz/flop.npz → LookupBucket "
                         "(default: proxy buckets)")
@@ -88,7 +91,7 @@ def main(argv=None):
 
     if args.cmd == "train":
         from .nlhe.forge import FastSession
-        from .nlhe.trainer import TrainerConfig
+        from .nlhe.trainer import TrainerConfig, segmented_caps
 
         mesh = None
         if args.mesh:
@@ -115,6 +118,8 @@ def main(argv=None):
                 batch=args.batch, table_log2=args.table_log2,
                 work_cap=args.work_cap, cap=args.cap,
                 max_levels=args.max_levels,
+                level_caps=(segmented_caps(args.batch, args.max_levels)
+                            if args.segmented else None),
             ),
             bucket_fn=bucket,
             mesh=mesh,

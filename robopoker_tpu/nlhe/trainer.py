@@ -300,7 +300,9 @@ def make_nlhe_step(
             )
             st = st._replace(
                 board=jnp.full((n, G.N_BOARD), -1, jnp.int8),
-                status=st.status.at[:, 0].set(G.FOLDING),
+                status=jnp.broadcast_to(
+                    jnp.array([G.FOLDING, G.BETTING], jnp.int32), (n, 2)
+                ),
             )
             return (st, jnp.zeros(n, jnp.int32), jnp.zeros(n, bool),
                     jnp.zeros(n, jnp.int32))
@@ -444,14 +446,15 @@ def make_nlhe_step(
                 )
         else:
             def pad_root(rw):
-                """Place the B roots at worklist positions 0..B-1."""
+                """Place the B roots at worklist positions 0..B-1 by
+                concatenating dead lanes (no scatter: XLA's TPU emitter
+                chokes on fused multi-operand iota-index scatters)."""
                 assert B <= W, "work_cap must cover the root level"
-                dstates, dtree, dvalid, dslot = dead_work(W)
-                pos = jnp.arange(B, dtype=jnp.int32)
-                return (work_scat_state(dstates, pos, rw[0], W),
-                        work_scat(dtree, pos, rw[1], W),
-                        work_scat(dvalid, pos, rw[2], W),
-                        work_scat(dslot, pos, rw[3], W))
+                dead = dead_work(W - B)
+                cat = lambda a, b: jnp.concatenate([a, b], axis=0)
+                return (jax.tree.map(cat, rw[0], dead[0]),
+                        cat(rw[1], dead[1]), cat(rw[2], dead[2]),
+                        cat(rw[3], dead[3]))
 
             def level_cond(carry):
                 lvl, _, work = carry

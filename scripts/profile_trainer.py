@@ -61,13 +61,16 @@ def main():
 
         bucket = LookupBucket.load(args.abstraction)
 
+    from robopoker_tpu.nlhe.trainer import segmented_caps
+
     base = dict(batch=256, work_cap=24576, cap=1536, max_levels=8,
                 roll_steps=5, tail_steps=16, table_log2=21)
     variants = [
         ("baseline", TrainerConfig(**base)),
-        ("tail_steps=8", TrainerConfig(**{**base, "tail_steps": 8})),
-        ("max_levels=6", TrainerConfig(**{**base, "max_levels": 6})),
         ("work_cap=12288", TrainerConfig(**{**base, "work_cap": 12288})),
+        ("segmented", TrainerConfig(
+            **base, level_caps=segmented_caps(base["batch"]))),
+        ("tail_steps=8", TrainerConfig(**{**base, "tail_steps": 8})),
         ("table_log2=20", TrainerConfig(**{**base, "table_log2": 20})),
     ]
     for name, cfg in variants:
