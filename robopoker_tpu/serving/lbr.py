@@ -1,0 +1,267 @@
+"""Local Best Response (LBR): an exploitability lower bound for the
+trained NLHE blueprint.
+
+Beyond-reference evaluation: the reference measures its blueprint
+empirically (slumbot bb/100, AIVAT, litmus — ref: crates/spar, arena,
+litmus); LBR (Lisy & Bowling 2017, "Eqilibrium Approximation Quality of
+Current No-Limit Poker Bots") gives an *offline* lower bound on
+exploitability without an external opponent, so the convergence of the
+blueprint can be tracked as a curve over training epochs.
+
+The LBR agent knows the blueprint's strategy exactly. It tracks the
+blueprint's range — a posterior over all 1,326 holes, updated by the
+blueprint's own averaged policy at each of its actions and masked by
+revealed cards — and at its own turns picks fold/call(/check) by a
+call-down expected value:
+
+    wp        = range-weighted showdown equity of LBR's hand (MC runouts)
+    EV(fold)  = 0
+    EV(call)  = wp * (pot + asked) - asked
+
+Everything runs in lockstep on device: a batch of hands advances one
+action per iteration of a bounded ``fori_loop``; the per-hole policy
+table ([N, 1326, 9]) and the equity rollouts ([N, 1326, R]) are batched
+tensor ops, mirroring how the posterior replay batches villain holes
+(robopoker_tpu/subgame/posterior.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..deuce.cards import suit_masks
+from ..deuce.evaluator import strength_from_masks
+from ..deuce.observation import ALL_POCKETS
+from ..kicker import MENU_PLURIBUS, edges as E, game as G
+from ..mccfr.engine import averaged
+from ..nlhe.table import InfoTable, N_COLS, make_key, probe_rows
+
+MAX_STEPS = 24
+_N_HOLES = 1326
+
+# card-pair -> ALL_POCKETS row (host constant; -1 off-diagonal unused)
+_HOLE_INDEX = np.full((52, 52), -1, np.int32)
+for _i, (_a, _b) in enumerate(ALL_POCKETS):
+    _HOLE_INDEX[_a, _b] = _i
+    _HOLE_INDEX[_b, _a] = _i
+
+
+def _collision_mask(board: jnp.ndarray, lbr_hole: jnp.ndarray) -> jnp.ndarray:
+    """[N, 1326] True where the candidate hole avoids all revealed cards."""
+    opp = jnp.asarray(ALL_POCKETS)                              # [1326, 2]
+    seen = jnp.concatenate([board, lbr_hole], axis=1)           # [N, 7]
+    hit = (opp[None, :, :, None] == seen[:, None, None, :]).any(axis=(2, 3))
+    return ~hit
+
+
+def _range_equity(lbr_hole, board, range_, key, n_rollouts: int):
+    """MC showdown equity of LBR's hand vs the weighted range.
+
+    Runouts complete the board from the deck minus (board ∪ LBR hole);
+    (hole, runout) collisions are masked and the weights renormalized.
+    """
+    N = board.shape[0]
+    n_dealt = (board >= 0).sum(axis=1)                          # [N]
+    u = jax.random.uniform(key, (N, n_rollouts, 52))
+    seen = jnp.concatenate([board, lbr_hole], axis=1)           # [N, 7]
+    excl = (jnp.arange(52)[None, None, :] == seen[:, :, None]).any(1)
+    u = jnp.where(excl[:, None, :], 2.0, u)
+    draw = jnp.argsort(u, axis=-1)[:, :, :5].astype(jnp.int32)  # [N, R, 5]
+
+    pos = jnp.arange(G.N_BOARD)
+    need = jnp.clip(pos[None, :] - n_dealt[:, None], 0, 4)      # [N, 5]
+    filled = jnp.take_along_axis(
+        draw, need[:, None, :], axis=2
+    )                                                           # [N, R, 5]
+    full = jnp.where(
+        (board >= 0)[:, None, :], board[:, None, :], filled
+    )                                                           # [N, R, 5]
+
+    hero = jnp.concatenate(
+        [jnp.broadcast_to(lbr_hole[:, None, :], (N, n_rollouts, 2)), full],
+        axis=2,
+    )
+    hero_code = strength_from_masks(suit_masks(hero))           # [N, R]
+
+    opp = jnp.asarray(ALL_POCKETS)                              # [1326, 2]
+    opp_cards = jnp.concatenate(
+        [
+            jnp.broadcast_to(opp[None, :, None, :],
+                             (N, _N_HOLES, n_rollouts, 2)),
+            jnp.broadcast_to(full[:, None, :, :],
+                             (N, _N_HOLES, n_rollouts, 5)),
+        ],
+        axis=3,
+    )
+    opp_code = strength_from_masks(suit_masks(opp_cards))       # [N, 1326, R]
+
+    # (hole, runout) disjointness: the hole must miss the drawn cards
+    undealt = (board < 0)[:, None, :]                           # [N, 1, 5]
+    drawn_used = jnp.where(undealt, full, -1)                   # [N, R, 5]
+    clash = (
+        opp[None, :, :, None, None] == drawn_used[:, None, None, :, :]
+    ).any(axis=(2, 4))                                          # [N, 1326, R]
+    w = range_[:, :, None] * (~clash)                           # [N, 1326, R]
+    score = jnp.where(
+        hero_code[:, None, :] > opp_code, 1.0,
+        jnp.where(hero_code[:, None, :] == opp_code, 0.5, 0.0),
+    )
+    tot = (w * score).sum(axis=(1, 2))
+    den = w.sum(axis=(1, 2))
+    return tot / jnp.maximum(den, 1e-12)
+
+
+def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
+                  n_rollouts: int = 32, menu: np.ndarray | None = None,
+                  max_steps: int = MAX_STEPS):
+    """Build the jitted per-batch LBR match: ``play(key, lbr_seat) ->
+    (pnl [N] chips for the LBR seat, done [N])``."""
+    MENU = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
+    N = batch
+    opp_holes = jnp.asarray(ALL_POCKETS)
+    hole_index = jnp.asarray(_HOLE_INDEX)
+
+    def hole_policies(states):
+        """Blueprint averaged policy for every candidate hole: [N,1326,9]."""
+        board = states.board.astype(jnp.int32)
+        legal = G.legal_cols(states, MENU)                      # [N, 9]
+        sub = G.packed_subgame(states)                          # [N, 2]
+        cmask = (legal * (1 << jnp.arange(N_COLS))).sum(1).astype(jnp.int32)
+        hh = jnp.broadcast_to(
+            opp_holes[None], (N, _N_HOLES, 2)
+        ).reshape(N * _N_HOLES, 2)
+        bb = jnp.repeat(board, _N_HOLES, axis=0)
+        ss = jnp.repeat(states.street, _N_HOLES, axis=0)
+        bucket = bucket_fn(hh, bb, ss)
+        klo, khi = make_key(
+            bucket,
+            jnp.repeat(sub, _N_HOLES, axis=0),
+            jnp.repeat(cmask, _N_HOLES, axis=0),
+        )
+        row, _ = probe_rows(table.key_lo, table.key_hi, klo, khi)
+        pol = averaged(
+            table.weight[row], jnp.repeat(legal, _N_HOLES, axis=0)
+        )
+        return pol.reshape(N, _N_HOLES, N_COLS), legal
+
+    @functools.partial(jax.jit, static_argnames=())
+    def play(key: jnp.ndarray, lbr_seat: jnp.ndarray):
+        states = G.root(jax.random.fold_in(key, 1), N)
+        lbr_hole = jnp.take_along_axis(
+            states.hole.astype(jnp.int32),
+            jnp.broadcast_to(lbr_seat[None, None, None], (N, 1, 2)).astype(
+                jnp.int32
+            ),
+            axis=1,
+        )[:, 0]                                                 # [N, 2]
+        bp_hole = jnp.take_along_axis(
+            states.hole.astype(jnp.int32),
+            jnp.broadcast_to(
+                (1 - lbr_seat)[None, None, None], (N, 1, 2)
+            ).astype(jnp.int32),
+            axis=1,
+        )[:, 0]
+        bp_idx = hole_index[bp_hole[:, 0], bp_hole[:, 1]]       # [N]
+        range_ = _collision_mask(
+            states.board.astype(jnp.int32), lbr_hole
+        ).astype(jnp.float32)
+
+        def body(i, carry):
+            states, range_ = carry
+            k = jax.random.fold_in(key, 100 + i)
+            states = G.deal_board(states, k)
+            board = states.board.astype(jnp.int32)
+            range_ = range_ * _collision_mask(board, lbr_hole)
+
+            t = G.turn_of(states)
+            acting = t <= G.TURN_P1
+            is_lbr = acting & (t == lbr_seat)
+            is_bp = acting & (t == (1 - lbr_seat))
+
+            polh, legal = hole_policies(states)
+            bp_dist = jnp.take_along_axis(
+                polh, jnp.clip(bp_idx, 0)[:, None, None], axis=1
+            )[:, 0]                                             # [N, 9]
+            logits = jnp.where(
+                legal & (bp_dist > 0), jnp.log(jnp.maximum(bp_dist, 1e-20)),
+                -jnp.inf,
+            )
+            safe = jnp.where(
+                jnp.isfinite(logits).any(1, keepdims=True), logits,
+                jnp.where(legal, 0.0, -jnp.inf),
+            )
+            bp_col = jax.random.categorical(
+                jax.random.fold_in(k, 7), safe, axis=-1
+            )
+
+            wp = _range_equity(lbr_hole, board, range_,
+                               jax.random.fold_in(k, 9), n_rollouts)
+            pot = states.pot.astype(jnp.float32)
+            asked = G.to_call(states).astype(jnp.float32)
+            ev_call = wp * (pot + asked) - asked
+            want_call = jnp.where(
+                legal[:, E.COL_CALL], E.COL_CALL, E.COL_SHOVE
+            )  # calling an all-in is the shove column (tc >= ts)
+            lbr_col = jnp.where(
+                asked > 0,
+                jnp.where(ev_call > 0, want_call, E.COL_FOLD),
+                E.COL_CHECK,
+            )
+
+            col = jnp.where(is_lbr, lbr_col, bp_col).astype(jnp.int32)
+            # blueprint action updates its range by its own policy mass
+            picked = jnp.take_along_axis(polh, col[:, None, None], axis=2)[
+                :, :, 0
+            ]                                                   # [N, 1326]
+            range_ = jnp.where(is_bp[:, None], range_ * picked, range_)
+            states = G.apply_cols(states, col, MENU, acting)
+            return states, range_
+
+        states, range_ = jax.lax.fori_loop(
+            0, max_steps, body, (states, range_)
+        )
+        states = G.deal_board(states, jax.random.fold_in(key, 999))
+        done = G.turn_of(states) == G.TURN_TERMINAL
+        pnl = G.settle(states)
+        lbr_pnl = jnp.take_along_axis(
+            pnl, lbr_seat[None, None].astype(jnp.int32).repeat(N, 0), axis=1
+        )[:, 0]
+        return jnp.where(done, lbr_pnl, 0.0), done
+
+    return play
+
+
+def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
+             batch: int = 64, n_rollouts: int = 32, seed: int = 0,
+             menu: np.ndarray | None = None) -> dict:
+    """Play `n_hands` (half from each seat) and report the LBR winrate —
+    a lower bound on blueprint exploitability — in mbb/hand."""
+    play = make_lbr_play(table, bucket_fn, batch=batch,
+                         n_rollouts=n_rollouts, menu=menu)
+    key = jax.random.PRNGKey(seed)
+    chips, finished = [], 0
+    n_batches = max(1, n_hands // batch)
+    for b in range(n_batches):
+        pnl, done = play(jax.random.fold_in(key, b),
+                         jnp.int32(b % 2))
+        pnl = np.asarray(pnl)
+        done = np.asarray(done)
+        chips.append(pnl[done])
+        finished += int(done.sum())
+    chips = np.concatenate(chips) if chips else np.zeros(0)
+    # B_BLIND = 2 chips = 1 big blind
+    mbb = chips / 2.0 * 1000.0
+    n = max(len(mbb), 1)
+    return {
+        "hands": int(len(mbb)),
+        "unfinished": int(n_batches * batch - finished),
+        "lbr_mbb_per_hand": float(mbb.mean()) if len(mbb) else 0.0,
+        "stderr_mbb": float(mbb.std(ddof=1) / np.sqrt(n)) if len(mbb) > 1
+        else 0.0,
+    }
