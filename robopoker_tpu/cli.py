@@ -80,6 +80,15 @@ def main(argv=None):
     l.add_argument("--workdir", default="artifacts")
     l.add_argument("--abstraction", default=None)
 
+    x = sub.add_parser("lbr", help="LBR exploitability lower bound vs the "
+                                   "trained blueprint")
+    x.add_argument("--workdir", default="artifacts")
+    x.add_argument("--abstraction", default=None)
+    x.add_argument("--hands", type=int, default=2048)
+    x.add_argument("--batch", type=int, default=64)
+    x.add_argument("--rollouts", type=int, default=32)
+    x.add_argument("--seed", type=int, default=0)
+
     v = sub.add_parser("serve", help="HTTP strategy/training API (portal)")
     v.add_argument("--port", type=int, default=8080)
     v.add_argument("--workdir", default="artifacts")
@@ -176,6 +185,17 @@ def main(argv=None):
         md, ok = litmus.run(Blueprint(session.table, bucket_fn=bucket), scen)
         print(md)
         return 0 if ok else 1
+
+    if args.cmd == "lbr":
+        from .nlhe.abstraction import proxy_bucket
+        from .serving.lbr import lbr_eval
+
+        session, bucket = _bucket_session(args)
+        res = lbr_eval(session.table, bucket or proxy_bucket,
+                       n_hands=args.hands, batch=args.batch,
+                       n_rollouts=args.rollouts, seed=args.seed)
+        print(json.dumps(res, indent=2))
+        return 0
 
     if args.cmd == "serve":
         from .serving import api
