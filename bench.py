@@ -25,9 +25,12 @@ def main():
     from robopoker_tpu.mccfr import LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING
     from robopoker_tpu.nlhe import TrainerConfig, init_table, make_nlhe_step, proxy_bucket
 
+    from robopoker_tpu.nlhe.trainer import segmented_caps
+
     cfg = TrainerConfig(
         batch=256, work_cap=24576, cap=1536, max_levels=8,
         roll_steps=5, tail_steps=16, table_log2=20,
+        level_caps=segmented_caps(256),  # profiled: 1.36x over constant
     )
     table = init_table(cfg.table_log2)
     step = make_nlhe_step(

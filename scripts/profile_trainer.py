@@ -65,13 +65,19 @@ def main():
 
     base = dict(batch=256, work_cap=24576, cap=1536, max_levels=8,
                 roll_steps=5, tail_steps=16, table_log2=21)
+    seg = segmented_caps(base["batch"])
     variants = [
         ("baseline", TrainerConfig(**base)),
         ("work_cap=12288", TrainerConfig(**{**base, "work_cap": 12288})),
-        ("segmented", TrainerConfig(
-            **base, level_caps=segmented_caps(base["batch"]))),
-        ("tail_steps=8", TrainerConfig(**{**base, "tail_steps": 8})),
-        ("table_log2=20", TrainerConfig(**{**base, "table_log2": 20})),
+        ("segmented", TrainerConfig(**base, level_caps=seg)),
+        ("seg+batch=512", TrainerConfig(
+            **{**base, "batch": 512}, level_caps=segmented_caps(512))),
+        ("seg+margin=1.1", TrainerConfig(
+            **base, level_caps=segmented_caps(base["batch"], margin=1.1))),
+        ("seg+probes=4", TrainerConfig(
+            **{**base, "n_probes": 4}, level_caps=seg)),
+        ("seg+roll=4", TrainerConfig(
+            **{**base, "roll_steps": 4}, level_caps=seg)),
     ]
     for name, cfg in variants:
         run_variant(name, bucket, cfg, steps=args.steps)
