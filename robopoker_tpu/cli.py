@@ -60,6 +60,9 @@ def main(argv=None):
     t.add_argument("--segmented", action="store_true",
                    help="unrolled per-level worklist widths (measured "
                         "emit profile) instead of constant work-cap")
+    t.add_argument("--parity", action="store_true",
+                   help="walker-parity-specialized steps (even-walker "
+                        "trees are ~3x narrower; implies --segmented)")
     t.add_argument("--abstraction", default=None,
                    help="dir with turn.npz/flop.npz → LookupBucket "
                         "(default: proxy buckets)")
@@ -128,10 +131,11 @@ def main(argv=None):
                 work_cap=args.work_cap, cap=args.cap,
                 max_levels=args.max_levels,
                 level_caps=(segmented_caps(args.batch, args.max_levels)
-                            if args.segmented else None),
+                            if args.segmented or args.parity else None),
             ),
             bucket_fn=bucket,
             mesh=mesh,
+            parity_steps=args.parity,
         )
         session.train(args.epochs)
         return 0

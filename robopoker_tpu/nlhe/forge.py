@@ -49,6 +49,7 @@ class FastSession:
     training_hp: TrainingHyperParams = TrainingHyperParams()
     bucket_fn: object = None
     mesh: object = None          # jax Mesh → data-parallel step
+    parity_steps: bool = False   # walker-parity-specialized compiled steps
 
     def __post_init__(self):
         self.workdir = pathlib.Path(self.workdir)
@@ -62,6 +63,13 @@ class FastSession:
                 bucket, self.regret, self.weight, self.sampling,
                 self.mesh, self.trainer,
             )
+        elif self.parity_steps:
+            from .trainer import make_parity_steps
+
+            self._parity_pair = make_parity_steps(
+                bucket, self.regret, self.weight, self.sampling, self.trainer,
+            )
+            self.step = self._dispatch_parity
         else:
             self.step = make_nlhe_step(
                 bucket, self.regret, self.weight, self.sampling, self.trainer,
@@ -72,6 +80,14 @@ class FastSession:
         else:
             self.table = init_table(self.trainer.table_log2)
         self.key = jax.random.PRNGKey(self.run.seed)
+        self._epoch_host = int(self.table.epoch)
+
+    def _dispatch_parity(self, table, key):
+        """Pick the compiled step for this epoch's walker (epoch % 2);
+        the host mirrors the device epoch counter so no sync is added."""
+        step = self._parity_pair[self._epoch_host % 2]
+        self._epoch_host += 1
+        return step(table, key)
 
     def snapshot(self) -> None:
         t0 = time.monotonic()

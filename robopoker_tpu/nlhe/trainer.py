@@ -86,6 +86,11 @@ class TrainerConfig:
 # caps) during the pluribus warmup phase (full branching — the widest
 # case) via the level_emit metric; margin covers epoch-to-epoch variance
 EMIT_PROFILE = (7.0, 17.0, 33.0, 69.0, 116.0, 112.0, 56.0, 8.0)
+# walker parity changes the tree shape drastically: epochs where the
+# walker is seat 0 (the SB/dealer, even t) terminate much earlier —
+# their frontier peaks ~3x narrower. A parity-specialized pair of
+# compiled steps exploits this (see make_parity_steps).
+EMIT_PROFILE_EVEN = (7.0, 16.0, 27.0, 41.0, 36.0, 12.0, 3.0, 1.0)
 
 
 def segmented_caps(batch: int, max_levels: int = 8,
@@ -654,6 +659,33 @@ def make_nlhe_step(
 
     # under shard_map the caller owns jit; single-chip gets jitted directly
     return step if axis_name is not None else jax.jit(step)
+
+
+def make_parity_steps(bucket_fn, regret_schedule, weight_schedule, sampling,
+                      config: TrainerConfig = TrainerConfig(), **kw):
+    """(step_even, step_odd): walker-parity-specialized epoch steps.
+
+    The caller dispatches on ``epoch % 2`` (the walker seat). Even-walker
+    trees are ~3x narrower at peak, so their step compiles with the
+    narrow cap schedule and runs proportionally faster; results are
+    identical to a single step with each parity's caps.
+    """
+    even = dataclasses.replace(
+        config,
+        level_caps=segmented_caps(config.batch, config.max_levels,
+                                  profile=EMIT_PROFILE_EVEN),
+    )
+    odd = dataclasses.replace(
+        config,
+        level_caps=config.level_caps
+        or segmented_caps(config.batch, config.max_levels),
+    )
+    return (
+        make_nlhe_step(bucket_fn, regret_schedule, weight_schedule,
+                       sampling, even, **kw),
+        make_nlhe_step(bucket_fn, regret_schedule, weight_schedule,
+                       sampling, odd, **kw),
+    )
 
 
 # legacy helpers kept for the subgame resolver (dense per-tree layout)

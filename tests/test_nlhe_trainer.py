@@ -94,6 +94,24 @@ def test_segmented_levels_train():
     assert nz > 30
 
 
+def test_parity_steps_train(tmp_path):
+    """Parity-specialized steps alternate by walker and keep learning."""
+    from robopoker_tpu.nlhe.forge import FastSession
+    from robopoker_tpu.nlhe.trainer import segmented_caps
+
+    cfg = TrainerConfig(
+        batch=8, work_cap=2048, cap=256, max_levels=4,
+        roll_steps=4, tail_steps=8, table_log2=14,
+        level_caps=segmented_caps(8, max_levels=4, align=64),
+    )
+    s = FastSession(workdir=str(tmp_path), trainer=cfg, parity_steps=True)
+    s.train(epochs=4)
+    assert int(s.table.epoch) == 4
+    r = np.asarray(s.table.regret)
+    assert np.isfinite(r).all()
+    assert (np.abs(r).sum(axis=1) > 0).sum() > 30
+
+
 def test_payoff_finite(stepped):
     table, _ = stepped
     # EVs are importance-weighted (π/q reach ratios exceed 1), so they can
