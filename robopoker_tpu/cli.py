@@ -97,6 +97,10 @@ def main(argv=None):
     v.add_argument("--workdir", default="artifacts")
     v.add_argument("--abstraction", default=None)
 
+    cv = sub.add_parser("convert", help="interactive poker-analysis REPL "
+                                        "(ref: bin/convert)")
+    cv.add_argument("--abstraction", default=None)
+
     sub.add_parser("bench")
 
     args = p.parse_args(argv)
@@ -208,6 +212,32 @@ def main(argv=None):
         session, bucket = _bucket_session(args)
         bp = Blueprint(session.table, bucket_fn=bucket)
         api.run(bp, Resolver(bp), workdir=args.workdir, port=args.port)
+        return 0
+
+    if args.cmd == "convert":
+        import numpy as np
+
+        from .nlhe.abstraction import proxy_bucket
+        from .serving.convert import repl
+
+        ctx = {"bucket_fn": proxy_bucket, "artifacts": {}}
+        if args.abstraction:
+            from .lloyd.lookup import IsoLookup
+            from .lloyd.pipeline import StreetArtifacts
+            from .nlhe.abstraction import LookupBucket
+
+            ctx["bucket_fn"] = LookupBucket.load(args.abstraction)
+            for street, name in ((1, "flop"), (2, "turn")):
+                p = pathlib.Path(args.abstraction) / f"{name}.npz"
+                if p.exists():
+                    with np.load(p) as z:
+                        ctx["artifacts"][street] = StreetArtifacts(
+                            street, z["centroids"],
+                            IsoLookup(z["lookup_key1"], z["lookup_key2"],
+                                      z["lookup_value"]),
+                            z["metric"], z["assignment"],
+                        )
+        repl(ctx)
         return 0
 
     if args.cmd == "bench":
