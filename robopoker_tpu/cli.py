@@ -91,6 +91,7 @@ def main(argv=None):
     x.add_argument("--batch", type=int, default=64)
     x.add_argument("--rollouts", type=int, default=32)
     x.add_argument("--seed", type=int, default=0)
+    x.add_argument("--mode", choices=("fc", "fcpa"), default="fcpa")
 
     v = sub.add_parser("serve", help="HTTP strategy/training API (portal)")
     v.add_argument("--port", type=int, default=8080)
@@ -201,7 +202,8 @@ def main(argv=None):
         session, bucket = _bucket_session(args)
         res = lbr_eval(session.table, bucket or proxy_bucket,
                        n_hands=args.hands, batch=args.batch,
-                       n_rollouts=args.rollouts, seed=args.seed)
+                       n_rollouts=args.rollouts, seed=args.seed,
+                       mode=args.mode)
         print(json.dumps(res, indent=2))
         return 0
 

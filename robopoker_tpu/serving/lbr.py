@@ -60,8 +60,10 @@ def _collision_mask(board: jnp.ndarray, lbr_hole: jnp.ndarray) -> jnp.ndarray:
     return ~hit
 
 
-def _range_equity(lbr_hole, board, range_, key, n_rollouts: int):
-    """MC showdown equity of LBR's hand vs the weighted range.
+def _hole_scores(lbr_hole, board, key, n_rollouts: int):
+    """Per-hole MC showdown scores of LBR's hand: ``[N, 1326]`` win
+    probability vs each candidate villain hole, so any reweighted range
+    (posterior, continue-vs-bet) reuses one set of runouts.
 
     Runouts complete the board from the deck minus (board ∪ LBR hole);
     (hole, runout) collisions are masked and the weights renormalized.
@@ -107,21 +109,37 @@ def _range_equity(lbr_hole, board, range_, key, n_rollouts: int):
     clash = (
         opp[None, :, :, None, None] == drawn_used[:, None, None, :, :]
     ).any(axis=(2, 4))                                          # [N, 1326, R]
-    w = range_[:, :, None] * (~clash)                           # [N, 1326, R]
+    ok = (~clash).astype(jnp.float32)
     score = jnp.where(
         hero_code[:, None, :] > opp_code, 1.0,
         jnp.where(hero_code[:, None, :] == opp_code, 0.5, 0.0),
     )
-    tot = (w * score).sum(axis=(1, 2))
-    den = w.sum(axis=(1, 2))
-    return tot / jnp.maximum(den, 1e-12)
+    n_ok = ok.sum(axis=2)                                       # [N, 1326]
+    s = (ok * score).sum(axis=2) / jnp.maximum(n_ok, 1.0)
+    return s, (n_ok > 0).astype(jnp.float32)
+
+
+def _wp(weights, scores, svalid):
+    w = weights * svalid
+    return (w * scores).sum(1) / jnp.maximum(w.sum(1), 1e-12)
+
+
+def _range_equity(lbr_hole, board, range_, key, n_rollouts: int):
+    """Range-weighted MC equity (kept for tests/direct queries)."""
+    s, sv = _hole_scores(lbr_hole, board, key, n_rollouts)
+    return _wp(range_, s, sv)
 
 
 def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
                   n_rollouts: int = 32, menu: np.ndarray | None = None,
-                  max_steps: int = MAX_STEPS):
+                  max_steps: int = MAX_STEPS, mode: str = "fcpa"):
     """Build the jitted per-batch LBR match: ``play(key, lbr_seat) ->
-    (pnl [N] chips for the LBR seat, done [N])``."""
+    (pnl [N] chips for the LBR seat, done [N])``.
+
+    mode "fc" = fold/call only; "fcpa" also considers a pot-size raise
+    and all-in, pricing each by the blueprint's fold response at the
+    hypothetical child state (the paper's strongest standard config).
+    """
     MENU = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
     N = batch
     opp_holes = jnp.asarray(ALL_POCKETS)
@@ -200,11 +218,15 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
                 jax.random.fold_in(k, 7), safe, axis=-1
             )
 
-            wp = _range_equity(lbr_hole, board, range_,
-                               jax.random.fold_in(k, 9), n_rollouts)
+            scores, svalid = _hole_scores(lbr_hole, board,
+                                          jax.random.fold_in(k, 9),
+                                          n_rollouts)
+            wp = _wp(range_, scores, svalid)
             pot = states.pot.astype(jnp.float32)
             asked = G.to_call(states).astype(jnp.float32)
-            ev_call = wp * (pot + asked) - asked
+            # EV relative to folding now; states.pot already holds both
+            # players' money including the villain's outstanding bet
+            ev_call = wp * pot - (1.0 - wp) * asked
             want_call = jnp.where(
                 legal[:, E.COL_CALL], E.COL_CALL, E.COL_SHOVE
             )  # calling an all-in is the shove column (tc >= ts)
@@ -213,6 +235,50 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
                 jnp.where(ev_call > 0, want_call, E.COL_FOLD),
                 E.COL_CHECK,
             )
+            ev_base = jnp.where(asked > 0, jnp.maximum(ev_call, 0.0),
+                                wp * pot)
+
+            if mode == "fcpa":
+                # candidate bets: the menu raise slot nearest a pot-size
+                # bet, and all-in. Both are abstraction actions, so the
+                # blueprint's response needs no translation.
+                rc = G.raise_chips(states, MENU).astype(jnp.float32)
+                raise_legal = legal[:, E.COL_RAISE0:]
+                gap = jnp.where(
+                    raise_legal,
+                    jnp.abs(rc - (pot + 2.0 * asked)[:, None]), jnp.inf,
+                )
+                pot_slot = jnp.argmin(gap, axis=1)
+                pot_col = (E.COL_RAISE0 + pot_slot).astype(jnp.int32)
+                pot_chips = jnp.take_along_axis(
+                    rc, pot_slot[:, None], axis=1
+                )[:, 0]
+                shove_chips = G.to_shove(states).astype(jnp.float32)
+
+                def bet_ev(col_vec, chips, col_legal):
+                    child = G.apply_cols(states, col_vec, MENU, acting)
+                    polh_c, _ = hole_policies(child)
+                    pf = polh_c[:, :, E.COL_FOLD]           # [N, 1326]
+                    den = jnp.maximum(range_.sum(1), 1e-12)
+                    fp = (range_ * pf).sum(1) / den
+                    wp_b = _wp(range_ * (1.0 - pf), scores, svalid)
+                    b = jnp.maximum(chips - asked, 0.0)
+                    ev = fp * pot + (1.0 - fp) * (
+                        wp_b * (pot + b) - (1.0 - wp_b) * (asked + b)
+                    )
+                    return jnp.where(col_legal, ev, -jnp.inf)
+
+                ev_pot = bet_ev(pot_col, pot_chips, raise_legal.any(1))
+                ev_shove = bet_ev(
+                    jnp.full(N, E.COL_SHOVE, jnp.int32), shove_chips,
+                    legal[:, E.COL_SHOVE],
+                )
+                evs = jnp.stack([ev_base, ev_pot, ev_shove], axis=1)
+                pick = jnp.argmax(evs, axis=1)
+                lbr_col = jnp.where(
+                    pick == 1, pot_col,
+                    jnp.where(pick == 2, E.COL_SHOVE, lbr_col),
+                )
 
             col = jnp.where(is_lbr, lbr_col, bp_col).astype(jnp.int32)
             # blueprint action updates its range by its own policy mass
@@ -239,11 +305,11 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
 
 def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
              batch: int = 64, n_rollouts: int = 32, seed: int = 0,
-             menu: np.ndarray | None = None) -> dict:
+             menu: np.ndarray | None = None, mode: str = "fcpa") -> dict:
     """Play `n_hands` (half from each seat) and report the LBR winrate —
     a lower bound on blueprint exploitability — in mbb/hand."""
     play = make_lbr_play(table, bucket_fn, batch=batch,
-                         n_rollouts=n_rollouts, menu=menu)
+                         n_rollouts=n_rollouts, menu=menu, mode=mode)
     key = jax.random.PRNGKey(seed)
     chips, finished = [], 0
     n_batches = max(1, n_hands // batch)
@@ -259,6 +325,7 @@ def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
     mbb = chips / 2.0 * 1000.0
     n = max(len(mbb), 1)
     return {
+        "mode": mode,
         "hands": int(len(mbb)),
         "unfinished": int(n_batches * batch - finished),
         "lbr_mbb_per_hand": float(mbb.mean()) if len(mbb) else 0.0,

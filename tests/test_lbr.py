@@ -45,11 +45,25 @@ def test_range_equity_partial_board_runouts():
 def test_lbr_beats_untrained_blueprint():
     table = init_table(14)
     r = lbr_eval(table, proxy_bucket, n_hands=32, batch=16,
-                 n_rollouts=8, seed=1)
+                 n_rollouts=8, seed=1, mode="fc")
     assert r["hands"] > 0
     assert r["unfinished"] == 0
     # a uniform-random blueprint loses heavily to LBR
     assert r["lbr_mbb_per_hand"] > 1000
+
+
+def test_lbr_fcpa_runs():
+    """fcpa mode (pot bet + all-in priced by the blueprint's fold
+    response) plays full hands and still beats a uniform blueprint.
+    NOTE: fc vs fcpa ordering is NOT asserted — against a uniform bot
+    the call-down model makes betting high-variance; fcpa's advantage
+    shows against trained blueprints."""
+    table = init_table(14)
+    fcpa = lbr_eval(table, proxy_bucket, n_hands=32, batch=16,
+                    n_rollouts=8, seed=1, mode="fcpa")
+    assert fcpa["hands"] > 0 and fcpa["unfinished"] == 0
+    assert np.isfinite(fcpa["lbr_mbb_per_hand"])
+    assert fcpa["lbr_mbb_per_hand"] > 0
 
 
 def test_lbr_deterministic():
