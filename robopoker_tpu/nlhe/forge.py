@@ -93,6 +93,8 @@ class FastSession:
         t0 = time.monotonic()
         import jax.numpy as jnp
 
+        from ..utils.checkpoint import save_compact
+
         # per-epoch positive regret mass: the convergence curve the
         # reference's training dashboard plots (README "sum regret ↓136")
         sum_regret = float(jnp.maximum(self.table.regret, 0.0).sum()) / max(
@@ -100,6 +102,14 @@ class FastSession:
         )
         save_table(self.ckpt, self.table, self.run,
                    extra={"sum_regret": sum_regret})
+        # occupied-rows-only twin: small enough for version control, and
+        # the epoch-stamped history feeds exploitability-vs-epoch curves
+        save_compact(self.workdir / "blueprint_compact.npz", self.table,
+                     self.run)
+        hist = self.workdir / "compact"
+        hist.mkdir(exist_ok=True)
+        save_compact(hist / f"ep{int(self.table.epoch):06d}.npz",
+                     self.table, self.run)
         self.metrics.set("mccfr_flush_duration", time.monotonic() - t0)
         self.metrics.set("mccfr_sum_regret", sum_regret)
 
