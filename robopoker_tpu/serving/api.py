@@ -9,6 +9,8 @@ aiohttp —
 - POST /strategy/full             subgame-resolved policy (adapt_full)
 - GET  /training/status           snapshot log summary
 - GET  /topology/metric/{street}  centroid distance rows
+- GET  /topology/nearby/{street}/{k}      nearest centroids of bucket k
+- GET  /topology/population/{street}/{k}  artifact points in bucket k
 - POST /litmus/run                run the scenario harness
 
 Auth (the reference's bouncer JWT/Argon2 stack) is serving-only infra
@@ -78,6 +80,36 @@ def build_app(blueprint, resolver=None, workdir="artifacts", artifacts=None):
             "street": street,
             "k": int(art.metric.shape[0]),
             "metric": np.round(art.metric, 6).tolist(),
+        })
+
+    def _artifact_or_404(request):
+        street = int(request.match_info["street"])
+        art = (artifacts or {}).get(street)
+        return street, art
+
+    @routes.get("/topology/nearby/{street}/{k}")
+    async def nearby(request):
+        street, art = _artifact_or_404(request)
+        if art is None:
+            return web.json_response({"error": "no artifact"}, status=404)
+        k = int(request.match_info["k"])
+        row = np.asarray(art.metric)[k]
+        order = np.argsort(row)[1:6]
+        return web.json_response({
+            "bucket": k,
+            "nearest": [{"bucket": int(j), "distance": float(row[j])}
+                        for j in order],
+        })
+
+    @routes.get("/topology/population/{street}/{k}")
+    async def population(request):
+        street, art = _artifact_or_404(request)
+        if art is None:
+            return web.json_response({"error": "no artifact"}, status=404)
+        k = int(request.match_info["k"])
+        n = int((np.asarray(art.assignment) == k).sum())
+        return web.json_response({
+            "bucket": k, "points": n, "total": int(len(art.assignment)),
         })
 
     @routes.post("/litmus/run")

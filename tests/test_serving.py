@@ -140,6 +140,37 @@ def test_http_api(blueprint):
             assert abs(sum(body["policy"]) - 1.0) < 1e-4
             r = await client.get("/training/status")
             assert r.status == 200
+            r = await client.get("/topology/nearby/2/0")
+            assert r.status == 404  # no artifacts wired in this app
+            await client.close()
+
+        loop.run_until_complete(drive())
+
+
+def test_http_topology_with_artifacts(blueprint):
+    from aiohttp.test_utils import TestClient, TestServer, loop_context
+
+    from robopoker_tpu.serving.api import build_app
+
+    class Art:
+        metric = np.abs(np.arange(8)[:, None] - np.arange(8)[None, :]
+                        ).astype(np.float32)
+        assignment = np.array([0, 0, 1, 2, 2, 2, 7, 7])
+
+    with loop_context() as loop:
+        app = build_app(blueprint, artifacts={2: Art()})
+
+        async def drive():
+            server = TestServer(app)
+            client = TestClient(server)
+            await client.start_server()
+            r = await client.get("/topology/nearby/2/0")
+            body = await r.json()
+            assert body["nearest"][0] == {"bucket": 1, "distance": 1.0}
+            r = await client.get("/topology/population/2/2")
+            assert (await r.json())["points"] == 3
+            r = await client.get("/topology/metric/2")
+            assert (await r.json())["k"] == 8
             await client.close()
 
         loop.run_until_complete(drive())
