@@ -66,6 +66,10 @@ def main(argv=None):
     t.add_argument("--abstraction", default=None,
                    help="dir with turn.npz/flop.npz → LookupBucket "
                         "(default: proxy buckets)")
+    t.add_argument("--flush-min", type=float, default=30.0,
+                   help="snapshot cadence in minutes (each flush also "
+                        "appends an epoch-stamped compact checkpoint "
+                        "for convergence curves)")
 
     c = sub.add_parser("cluster", help="abstraction pipeline (reduced or full)")
     c.add_argument("--samples", type=int, default=4096)
@@ -128,9 +132,13 @@ def main(argv=None):
             # bucket provider is part of the config fingerprint: a
             # checkpoint trained on artifacts must not resume on proxy
             run_kw["run"] = RunConfig(bucket=f"lookup:{args.abstraction}")
+        from .pokerkit.hyperparams import TrainingHyperParams
+
         session = FastSession(
             workdir=args.workdir,
             **run_kw,
+            training_hp=TrainingHyperParams(
+                flush_interval_s=args.flush_min * 60.0),
             trainer=TrainerConfig(
                 batch=args.batch, table_log2=args.table_log2,
                 work_cap=args.work_cap, cap=args.cap,
