@@ -3,15 +3,18 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: walker decisions per second sustained by the flagship blueprint
-training step (LinearRegret + LinearWeight + PluribusSampling, batch=128
-trees/epoch — the reference's production config, ref:
-crates/nlhe/src/solver.rs:11). A "decision" = one walker decision node
+training step (LinearRegret + LinearWeight + PluribusSampling — the
+reference's production config, ref: crates/nlhe/src/solver.rs:11) at the
+EXACT configuration of our production blueprint run: batch 256 trees,
+2^22-row table, k-means abstraction artifacts, walker-parity-specialized
+segmented level passes. A "decision" = one walker decision node
 receiving a full regret/strategy update — the same unit as the
 reference's published "~309 decisions/sec sustained" dashboard figure
 (BASELINE.md / README training caption).
 """
 
 import json
+import pathlib
 import time
 
 import jax
@@ -23,30 +26,38 @@ def main():
 
     enable_compilation_cache()
     from robopoker_tpu.mccfr import LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING
-    from robopoker_tpu.nlhe import TrainerConfig, init_table, make_nlhe_step, proxy_bucket
+    from robopoker_tpu.nlhe import TrainerConfig, init_table, proxy_bucket
 
-    from robopoker_tpu.nlhe.trainer import segmented_caps
+    from robopoker_tpu.nlhe.trainer import make_parity_steps, segmented_caps
+
+    bucket = proxy_bucket
+    art = pathlib.Path(__file__).parent / "artifacts" / "abstraction"
+    if art.exists():
+        from robopoker_tpu.nlhe.abstraction import LookupBucket
+
+        bucket = LookupBucket.load(art)
 
     cfg = TrainerConfig(
         batch=256, work_cap=24576, cap=1536, max_levels=8,
-        roll_steps=5, tail_steps=16, table_log2=20,
-        level_caps=segmented_caps(256),  # profiled: 1.36x over constant
+        roll_steps=5, tail_steps=16, table_log2=22,
+        level_caps=segmented_caps(256),
     )
     table = init_table(cfg.table_log2)
-    step = make_nlhe_step(
-        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING, cfg
+    steps = make_parity_steps(
+        bucket, LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING, cfg
     )
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
-    table, metrics = step(table, key)
+    # warmup / compile both parity programs
+    table, metrics = steps[0](table, key)
+    table, metrics = steps[1](table, key)
     jax.block_until_ready(table)
 
     n_steps = 20
     t0 = time.monotonic()
     nodes = 0
-    for _ in range(n_steps):
-        table, metrics = step(table, key)
+    for i in range(n_steps):
+        table, metrics = steps[i % 2](table, key)
         nodes += int(metrics["nodes"])
     jax.block_until_ready(table)
     dt = time.monotonic() - t0
