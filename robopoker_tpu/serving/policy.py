@@ -28,6 +28,7 @@ from ..kicker import MENU_PLURIBUS, edges as E, game as G
 from ..mccfr.engine import averaged
 from ..nlhe.abstraction import proxy_bucket
 from ..nlhe.table import InfoTable, N_COLS, make_key, probe_rows
+from ..pokerkit.constants import N_WORLDS
 from ..pokerkit.hyperparams import SubgameHyperParams
 from ..subgame import (
     ResolveConfig,
@@ -91,6 +92,28 @@ class Blueprint:
         # lane 0 carries an arbitrary villain hole; hero's view only
         return head, np.asarray(probs), np.asarray(live)
 
+    def range_posterior(self, witness: Witness):
+        """Villain-hole posterior from hero's POV — (probs, live) over
+        ALL_POCKETS lanes (ref: nlhe::Flagship::opponent_observations,
+        served at /strategy/range)."""
+        _, probs, live = self.head_state(witness)
+        return probs, live
+
+    def signalled_posterior(self, witness: Witness):
+        """Hero's *signalled* range — the posterior an opponent could
+        form over hero's hand from hero's observed actions (ref:
+        nlhe signalled_observations, served at /strategy/signalled).
+        Same reach kernel with the seats swapped; the observer's own
+        hole is unknown, so no card removal beyond the board
+        (hole = [-1,-1] never collides with real pockets)."""
+        kind, col, cards = witness.sequence()
+        probs, live, _ = self._posterior(
+            self.table, jnp.asarray(kind), jnp.asarray(col),
+            jnp.asarray(cards), jnp.int32(1 - witness.hero_seat),
+            jnp.asarray(np.array([-1, -1], np.int32)),
+        )
+        return np.asarray(probs), np.asarray(live)
+
     def distribution(self, witness: Witness) -> np.ndarray:
         head, _, _ = self.head_state(witness)
         menu = jnp.asarray(self.menu)
@@ -118,6 +141,10 @@ class Resolver:
     config: ResolveConfig = ResolveConfig()
     budget_s: float = SubgameHyperParams().decision_budget_ms / 1000.0
     seed: int = 0
+    # False collapses the belief partition into a single world — the
+    # reference's depth-only solver (Kind::Depth / adapt_leaf without
+    # the World wrapper); True is the safe world-partitioned family
+    use_worlds: bool = True
 
     def __post_init__(self):
         from ..nlhe.table import init_table
@@ -125,10 +152,18 @@ class Resolver:
         self._step = make_resolve_step(self.blueprint.bucket_fn, self.config)
         self._init = lambda: init_table(self.config.table_log2)
 
-    def distribution(self, witness: Witness) -> np.ndarray:
+    def solve(self, witness: Witness) -> dict:
+        """Run the budgeted re-solve and return the ApiSolved-shaped
+        envelope (ref: portal strategy run_solve: policy + iterations +
+        elapsed_ms)."""
         head, probs, live = self.blueprint.head_state(witness)
-        world = belief_partition(probs)
-        ww = world_weights(probs, world)
+        if self.use_worlds:
+            world = belief_partition(probs)
+            ww = world_weights(probs, world)
+        else:
+            world = np.zeros_like(probs, dtype=np.int32)
+            ww = np.zeros(N_WORLDS, np.float32)
+            ww[0] = 1.0
         local = self._init()
         key = jax.random.PRNGKey(self.seed)
         t0 = time.monotonic()
@@ -141,10 +176,18 @@ class Resolver:
             )
             it += 1
         jax.block_until_ready(local)
-        return harvest_blend(
+        policy = harvest_blend(
             local, self.blueprint.table, head,
             self.blueprint.bucket_fn, witness.hero_seat,
         )
+        return {
+            "policy": policy,
+            "iterations": it,
+            "elapsed_ms": int((time.monotonic() - t0) * 1000),
+        }
+
+    def distribution(self, witness: Witness) -> np.ndarray:
+        return self.solve(witness)["policy"]
 
 
 def dirac(dist: np.ndarray) -> int:

@@ -48,9 +48,15 @@ def main():
     from robopoker_tpu.serving.lbr import lbr_eval
     from robopoker_tpu.utils.checkpoint import load_compact
 
-    bucket = (LookupBucket.load(args.abstraction) if args.abstraction
-              else proxy_bucket)
-    run = RunConfig()
+    # mirror cli.py's RunConfig wiring: the bucket provider is part of
+    # the fingerprint, so snapshots written by `train --abstraction X`
+    # only load under the same bucket tag
+    if args.abstraction:
+        bucket = LookupBucket.load(args.abstraction)
+        run = RunConfig(bucket=f"lookup:{args.abstraction}")
+    else:
+        bucket = proxy_bucket
+        run = RunConfig()
 
     out = pathlib.Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)

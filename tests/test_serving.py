@@ -147,6 +147,201 @@ def test_http_api(blueprint):
         loop.run_until_complete(drive())
 
 
+def test_http_training_scope(blueprint, tmp_path):
+    from aiohttp.test_utils import TestClient, TestServer, loop_context
+
+    from robopoker_tpu.serving.api import build_app
+
+    # a two-row snapshot log so snapshots/convergence have history
+    log = tmp_path / "snapshots.jsonl"
+    log.write_text(
+        json.dumps({"time": 1.0, "epoch": 10, "sum_regret": 100.0}) + "\n"
+        + json.dumps({"time": 2.0, "epoch": 20, "sum_regret": 60.0}) + "\n"
+    )
+
+    with loop_context() as loop:
+        app = build_app(blueprint, workdir=str(tmp_path))
+
+        async def drive():
+            server = TestServer(app)
+            client = TestClient(server)
+            await client.start_server()
+
+            r = await client.post("/training/snapshots",
+                                  json={"limit": 1, "offset": 0})
+            snaps = (await r.json())["snapshots"]
+            assert len(snaps) == 1 and snaps[0]["epoch"] == 20  # newest first
+
+            r = await client.get("/training/stats")
+            stats = await r.json()
+            assert stats["infosets"] > 0
+            assert stats["edges"] >= stats["infosets"]  # ≥1 edge per infoset
+            assert stats["max_visits"] >= stats["min_visits"] >= 1
+
+            r = await client.get("/training/street-stats")
+            streets = (await r.json())["streets"]
+            assert streets[0]["street"] == "?"
+            assert streets[0]["infosets"] == stats["infosets"]
+
+            r = await client.post("/training/cold", json={"limit": 3})
+            cold = (await r.json())["infosets"]
+            assert len(cold) == 3
+            assert cold[0]["visits"] <= cold[-1]["visits"]
+
+            r = await client.post("/training/hot", json={"limit": 3})
+            hot = (await r.json())["infosets"]
+            assert hot[0]["max_regret"] >= hot[-1]["max_regret"]
+
+            r = await client.post("/training/convergence", json={"limit": 5})
+            conv = (await r.json())["convergence"]
+            assert conv[0]["epoch"] == 20
+            assert conv[0]["delta"] == pytest.approx(-40.0)
+
+            r = await client.get("/training/saturation")
+            sat = await r.json()
+            assert sat["max_regret"] > 0
+            assert 0 <= sat["regret_pct"] < 1.0  # far from f32 saturation
+
+            await client.close()
+
+        loop.run_until_complete(drive())
+
+
+def test_http_strategy_scope(blueprint):
+    from aiohttp.test_utils import TestClient, TestServer, loop_context
+
+    from robopoker_tpu.serving.api import build_app
+    from robopoker_tpu.subgame import ResolveConfig
+
+    tiny = ResolveConfig(batch=8, level_cap=16, cap=64, max_levels=3,
+                         roll_steps=2, table_log2=10)
+    with loop_context() as loop:
+        app = build_app(blueprint, resolve_config=tiny)
+
+        async def drive():
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            w = {"hero_seat": 0, "hero_hole": [48, 49], "events": []}
+
+            r = await client.post("/strategy/range", json=w)
+            entries = (await r.json())["entries"]
+            assert len(entries) > 1000          # preflop: most holes live
+            weights = [e["weight"] for e in entries]
+            assert abs(sum(weights) - 1.0) < 1e-4
+            assert all(48 not in e["obs"] and 49 not in e["obs"]
+                       for e in entries)        # hero's cards removed
+
+            r = await client.post("/strategy/signalled", json=w)
+            sig = (await r.json())["entries"]
+            assert len(sig) > 1000
+            assert abs(sum(e["weight"] for e in sig) - 1.0) < 1e-4
+            # signalled range is over HERO's holes: no observer-hole
+            # removal, so hero's actual cards may appear
+            assert any(48 in e["obs"] or 49 in e["obs"] for e in sig)
+
+            r = await client.get("/strategy/grid-usage")
+            usage = (await r.json())["usage"]
+            assert len(usage) == 9
+            for u in usage:
+                assert 0.0 <= u["avg_freq"] <= 1.0
+                assert 0.0 <= u["weighted_freq"] <= 1.0
+
+            r = await client.post("/strategy/depth",
+                                  json={**w, "budget_ms": 200})
+            body = await r.json()
+            assert body["kind"] == "depth"
+            assert body["iterations"] >= 1
+            assert abs(sum(body["policy"]) - 1.0) < 1e-4
+
+            await client.close()
+
+        loop.run_until_complete(drive())
+
+
+def test_http_gameplay_scope(blueprint, tmp_path):
+    from aiohttp.test_utils import TestClient, TestServer, loop_context
+
+    from robopoker_tpu.serving.api import build_app
+    from robopoker_tpu.serving.records import HandLog
+
+    agents = [Agent(blueprint, use_dirac=False, seed=s) for s in (4, 5)]
+    engine = Engine(agents, seed=11)
+    log = HandLog(tmp_path / "hands.jsonl")
+    for i in range(3):
+        log.append(engine.play_hand(i), i)
+
+    with loop_context() as loop:
+        app = build_app(blueprint, workdir=str(tmp_path))
+
+        async def drive():
+            client = TestClient(TestServer(app))
+            await client.start_server()
+
+            r = await client.post("/gameplay/summary", json={"hero_seat": 0})
+            body = await r.json()
+            assert body["hands"] == 3
+            assert np.isfinite(body["bb_per_100"])
+
+            r = await client.post("/gameplay/aivat", json={"hero_seat": 0})
+            body = await r.json()
+            assert body["hands"] == 3
+            assert np.isfinite(body["aivat_mean"])
+
+            r = await client.get("/gameplay/hand/1")
+            assert (await r.json())["hand_id"] == 1
+            r = await client.get("/gameplay/hand/9")
+            assert r.status == 404
+
+            await client.close()
+
+        loop.run_until_complete(drive())
+
+
+def test_http_room_websocket(blueprint):
+    from aiohttp.test_utils import TestClient, TestServer, loop_context
+
+    from robopoker_tpu.serving.api import build_app
+
+    with loop_context() as loop:
+        app = build_app(blueprint)
+
+        async def drive():
+            client = TestClient(TestServer(app))
+            await client.start_server()
+
+            r = await client.post("/room/start", json={
+                "seats": 2, "human_seat": 0, "variant": "dirac", "seed": 7,
+            })
+            rid = (await r.json())["room_id"]
+
+            ws = await client.ws_connect(f"/room/enter/{rid}")
+            snap = await ws.receive_json()
+            assert snap["seat"] == 0
+            assert len(snap["hole"]) == 2
+            # drive the hand to completion acting first-legal each turn
+            for _ in range(40):
+                if snap["finished"]:
+                    break
+                assert snap["to_act"] == 0 and "legal" in snap
+                col = snap["legal"].index(True)
+                await ws.send_json({"action": col})
+                snap = await ws.receive_json()
+            assert snap["finished"]
+            assert "pnl" in snap and len(snap["pnl"]) == 2
+
+            # next hand deals fresh
+            await ws.send_json({"next": True})
+            snap = await ws.receive_json()
+            assert snap["hand_id"] == 1
+            await ws.close()
+
+            r = await client.post(f"/room/leave/{rid}")
+            assert (await r.json())["ok"] is True
+            await client.close()
+
+        loop.run_until_complete(drive())
+
+
 def test_http_topology_with_artifacts(blueprint):
     from aiohttp.test_utils import TestClient, TestServer, loop_context
 
