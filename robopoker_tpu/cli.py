@@ -221,32 +221,26 @@ def main(argv=None):
 
         session, bucket = _bucket_session(args)
         bp = Blueprint(session.table, bucket_fn=bucket)
-        api.run(bp, Resolver(bp), workdir=args.workdir, port=args.port)
+        artifacts = None
+        if args.abstraction:
+            from .lloyd.pipeline import load_street_artifacts
+
+            artifacts = load_street_artifacts(args.abstraction)
+        api.run(bp, Resolver(bp), workdir=args.workdir,
+                artifacts=artifacts, port=args.port)
         return 0
 
     if args.cmd == "convert":
-        import numpy as np
-
         from .nlhe.abstraction import proxy_bucket
         from .serving.convert import repl
 
         ctx = {"bucket_fn": proxy_bucket, "artifacts": {}}
         if args.abstraction:
-            from .lloyd.lookup import IsoLookup
-            from .lloyd.pipeline import StreetArtifacts
+            from .lloyd.pipeline import load_street_artifacts
             from .nlhe.abstraction import LookupBucket
 
             ctx["bucket_fn"] = LookupBucket.load(args.abstraction)
-            for street, name in ((1, "flop"), (2, "turn")):
-                p = pathlib.Path(args.abstraction) / f"{name}.npz"
-                if p.exists():
-                    with np.load(p) as z:
-                        ctx["artifacts"][street] = StreetArtifacts(
-                            street, z["centroids"],
-                            IsoLookup(z["lookup_key1"], z["lookup_key2"],
-                                      z["lookup_value"]),
-                            z["metric"], z["assignment"],
-                        )
+            ctx["artifacts"] = load_street_artifacts(args.abstraction)
         repl(ctx)
         return 0
 

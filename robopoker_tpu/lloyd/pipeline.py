@@ -46,6 +46,34 @@ class StreetArtifacts:
     lookup: IsoLookup           # canonical-iso hash → cluster id
     metric: np.ndarray          # [K, K] pairwise centroid distances
     assignment: np.ndarray      # [N] cluster per training point
+    # training points themselves (optional; scripts/backfill_points.py
+    # adds them to older artifacts) — lets topology queries sample a
+    # concrete example observation from any bucket
+    pocket: np.ndarray | None = None   # [N, 2]
+    board: np.ndarray | None = None    # [N, 3|4]
+
+
+def load_street_artifacts(path) -> dict:
+    """Load {street: StreetArtifacts} from a directory of
+    flop.npz/turn.npz files (shared by `convert` and the HTTP topology
+    scope)."""
+    import pathlib
+
+    out = {}
+    for street, name in ((1, "flop"), (2, "turn")):
+        p = pathlib.Path(path) / f"{name}.npz"
+        if not p.exists():
+            continue
+        with np.load(p) as z:
+            out[street] = StreetArtifacts(
+                street, z["centroids"],
+                IsoLookup(z["lookup_key1"], z["lookup_key2"],
+                          z["lookup_value"]),
+                z["metric"], z["assignment"],
+                pocket=z["pocket"] if "pocket" in z.files else None,
+                board=z["board"] if "board" in z.files else None,
+            )
+    return out
 
 
 def sample_observations(key, n: int, n_board: int, rng_seed: int = 0):

@@ -461,6 +461,145 @@ def build_app(blueprint, resolver=None, workdir="artifacts", artifacts=None,
             "regret_pct": max_regret / precision * 100.0,
         })
 
+    # --- topology query scope (ref: crates/portal/src/topology/api.rs;
+    # observation strings use the convert REPL syntax "Ac Kd / 7h 8h 9h")
+    from ..deuce.cards import cards_str
+    from .convert import _parse_obs, _street_of
+    from .topology import Topology
+
+    topo = Topology(artifacts or {}, bucket_fn=getattr(
+        blueprint, "bucket_fn", None))
+
+    def obs_of(text: str):
+        pocket, board = _parse_obs(text)
+        street = _street_of(board)
+        n = int((board >= 0).sum())
+        return pocket, board[:n], street
+
+    def sample_doc(pocket, board, street, bucket=None, distance=None):
+        doc = {
+            "obs": f"{cards_str(pocket)} / {cards_str(board)}".strip(" /"),
+            "pocket": [int(c) for c in pocket],
+            "board": [int(c) for c in board],
+            "street": street,
+        }
+        if bucket is not None:
+            doc["bucket"] = int(bucket)
+        if distance is not None:
+            doc["distance"] = float(distance)
+        return doc
+
+    def topo_route(path):
+        """POST route whose handler maps LookupError/ValueError → 4xx."""
+        def deco(fn):
+            async def handler(request):
+                body = await request.json()
+                try:
+                    return web.json_response(fn(body))
+                except LookupError as e:
+                    return web.json_response({"error": str(e)}, status=404)
+                except (ValueError, KeyError, IndexError) as e:
+                    return web.json_response({"error": str(e)}, status=400)
+            routes.post(path)(handler)
+            return handler
+        return deco
+
+    @topo_route("/topology/replace-obs")
+    def t_replace(body):
+        pocket, board, street = obs_of(body["obs"])
+        p, b, k = topo.replace_obs(pocket, board, street)
+        return sample_doc(p, b, street, bucket=k)
+
+    @topo_route("/topology/exp-wrt-str")
+    def t_exp_str(body):
+        street = int(body["street"])
+        p, b, k = topo.sample(street)
+        return sample_doc(p, b, street, bucket=k)
+
+    @topo_route("/topology/exp-wrt-abs")
+    def t_exp_abs(body):
+        street = int(body["street"])
+        p, b, k = topo.sample(street, int(body["abs"]))
+        return sample_doc(p, b, street, bucket=k)
+
+    @topo_route("/topology/exp-wrt-obs")
+    def t_exp_obs(body):
+        pocket, board, street = obs_of(body["obs"])
+        k = topo.bucket_of(pocket, board, street)
+        return sample_doc(pocket, board, street, bucket=k)
+
+    @topo_route("/topology/nbr-any-abs")
+    def t_nbr_any(body):
+        street = int(body["street"])
+        wrt = int(body["wrt"])
+        p, b, k = topo.sample(street, wrt)
+        return sample_doc(p, b, street, bucket=k, distance=0.0)
+
+    @topo_route("/topology/nbr-abs-abs")
+    def t_nbr_abs(body):
+        street = int(body["street"])
+        wrt, k = int(body["wrt"]), int(body["abs"])
+        p, b, _ = topo.sample(street, k)
+        return sample_doc(p, b, street, bucket=k,
+                          distance=topo.abs_distance(street, wrt, k))
+
+    @topo_route("/topology/nbr-obs-abs")
+    def t_nbr_obs(body):
+        pocket, board, street = obs_of(body["obs"])
+        wrt = int(body["wrt"])
+        d = topo.obs_abs_distance(pocket, board, street, wrt)
+        k = topo.bucket_of(pocket, board, street)
+        return sample_doc(pocket, board, street, bucket=k, distance=d)
+
+    def _k_neighbors(body, furthest):
+        street = int(body["street"])
+        wrt = int(body["wrt"])
+        n = int(body.get("n", 5))
+        rows = []
+        for k, d in topo.knn(street, wrt, n=n, furthest=furthest):
+            p, b, _ = topo.sample(street, k)
+            rows.append(sample_doc(p, b, street, bucket=k, distance=d))
+        return {"neighbors": rows}
+
+    @topo_route("/topology/nbr-knn-abs")
+    def t_knn(body):
+        return _k_neighbors(body, furthest=False)
+
+    @topo_route("/topology/nbr-kfn-abs")
+    def t_kfn(body):
+        return _k_neighbors(body, furthest=True)
+
+    @topo_route("/topology/nbr-kgn-abs")
+    def t_kgn(body):
+        wrt = int(body["wrt"])
+        rows = []
+        for text in body["nbr"]:
+            pocket, board, street = obs_of(text)
+            d = topo.obs_abs_distance(pocket, board, street, wrt)
+            rows.append(sample_doc(pocket, board, street, distance=d))
+        return {"neighbors": rows}
+
+    @topo_route("/topology/hst-wrt-abs")
+    def t_hst_abs(body):
+        street = int(body["street"])
+        h = topo.abs_histogram(street, int(body["abs"]))
+        return {"street": street, "bucket": int(body["abs"]),
+                "histogram": np.round(h, 6).tolist()}
+
+    @topo_route("/topology/hst-wrt-obs")
+    def t_hst_obs(body):
+        pocket, board, street = obs_of(body["obs"])
+        h = topo.obs_histogram(pocket, board, street)
+        return {"street": street, "histogram": np.round(h, 6).tolist()}
+
+    @topo_route("/topology/distance")
+    def t_distance(body):
+        p1, b1, s1 = obs_of(body["obs1"])
+        p2, b2, s2 = obs_of(body["obs2"])
+        if s1 != s2:
+            raise ValueError("observations on different streets")
+        return {"street": s1, "distance": topo.obs_distance(p1, b1, p2, b2, s1)}
+
     @routes.get("/topology/metric/{street}")
     async def topology(request):
         if not artifacts:

@@ -371,6 +371,115 @@ def test_http_topology_with_artifacts(blueprint):
         loop.run_until_complete(drive())
 
 
+def test_http_topology_query_scope(blueprint):
+    """The reference-named topology POST routes against the real
+    artifacts (skipped if the abstraction dir is absent)."""
+    import pathlib
+
+    art_dir = pathlib.Path(__file__).parent.parent / "artifacts" / "abstraction"
+    if not art_dir.exists():
+        pytest.skip("no abstraction artifacts in checkout")
+
+    from aiohttp.test_utils import TestClient, TestServer, loop_context
+
+    from robopoker_tpu.lloyd.pipeline import load_street_artifacts
+    from robopoker_tpu.nlhe.abstraction import LookupBucket
+    from robopoker_tpu.serving.api import build_app
+    from robopoker_tpu.serving.policy import Blueprint
+    from robopoker_tpu.nlhe import init_table
+
+    arts = load_street_artifacts(art_dir)
+    if arts.get(2) is None or arts[2].pocket is None:
+        pytest.skip("artifacts lack backfilled points")
+    bp = Blueprint(init_table(12), bucket_fn=LookupBucket.load(art_dir))
+
+    # an observation guaranteed covered by the (partial) artifact: one of
+    # its own training points
+    from robopoker_tpu.deuce.cards import cards_str
+
+    p0, b0 = arts[2].pocket[17], arts[2].board[17]
+    obs = f"{cards_str(p0)} / {cards_str(b0)}"
+    obs_bucket = int(arts[2].assignment[17])
+
+    with loop_context() as loop:
+        app = build_app(bp, artifacts=arts)
+
+        async def drive():
+            client = TestClient(TestServer(app))
+            await client.start_server()
+
+            r = await client.post("/topology/exp-wrt-abs",
+                                  json={"street": 2, "abs": 7})
+            body = await r.json()
+            assert body["bucket"] == 7 and len(body["pocket"]) == 2
+            assert len(body["board"]) == 4        # turn board
+
+            r = await client.post("/topology/exp-wrt-str", json={"street": 1})
+            assert len((await r.json())["board"]) == 3
+
+            r = await client.post("/topology/exp-wrt-obs", json={"obs": obs})
+            got = await r.json()
+            assert got["street"] == 2 and got["bucket"] == obs_bucket
+
+            r = await client.post("/topology/replace-obs", json={"obs": obs})
+            rep = await r.json()
+            assert rep["bucket"] >= 0 and rep["obs"] != ""
+
+            r = await client.post("/topology/nbr-knn-abs",
+                                  json={"street": 2, "wrt": 7, "n": 3})
+            knn = (await r.json())["neighbors"]
+            assert len(knn) == 3
+            assert knn[0]["distance"] <= knn[-1]["distance"]
+            r = await client.post("/topology/nbr-kfn-abs",
+                                  json={"street": 2, "wrt": 7, "n": 3})
+            kfn = (await r.json())["neighbors"]
+            assert kfn[0]["distance"] >= knn[0]["distance"]
+
+            r = await client.post("/topology/nbr-abs-abs",
+                                  json={"street": 2, "wrt": 7,
+                                        "abs": knn[0]["bucket"]})
+            assert (await r.json())["distance"] == pytest.approx(
+                knn[0]["distance"])
+
+            r = await client.post("/topology/hst-wrt-abs",
+                                  json={"street": 2, "abs": 7})
+            h = (await r.json())["histogram"]
+            assert len(h) == 101 and abs(sum(h) - 1.0) < 1e-3
+
+            r = await client.post("/topology/hst-wrt-obs", json={"obs": obs})
+            h = (await r.json())["histogram"]
+            assert len(h) == 101 and abs(sum(h) - 1.0) < 1e-3
+
+            r = await client.post("/topology/nbr-obs-abs",
+                                  json={"obs": obs, "wrt": 7})
+            assert (await r.json())["distance"] >= 0.0
+
+            r = await client.post("/topology/nbr-kgn-abs",
+                                  json={"street": 2, "wrt": 7, "nbr": [obs]})
+            assert len((await r.json())["neighbors"]) == 1
+
+            r = await client.post("/topology/distance", json={
+                "obs1": "Ah Kh / 7h 8h 9h 2c",
+                "obs2": "2c 7d / Jh 8s 3h 2d",
+            })
+            strong_vs_weak = (await r.json())["distance"]
+            assert strong_vs_weak > 0.0
+            r = await client.post("/topology/distance", json={
+                "obs1": obs, "obs2": obs,
+            })
+            assert (await r.json())["distance"] == pytest.approx(0.0, abs=1e-5)
+
+            # cross-street distance → 400
+            r = await client.post("/topology/distance", json={
+                "obs1": obs, "obs2": "2c 7d / Jh 8s 3h",
+            })
+            assert r.status == 400
+
+            await client.close()
+
+        loop.run_until_complete(drive())
+
+
 def test_records_roundtrip_and_aivat_bridge(blueprint, tmp_path):
     from robopoker_tpu.serving.records import HandLog, from_wire, to_aivat, to_wire
 
