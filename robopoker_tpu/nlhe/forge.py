@@ -128,6 +128,10 @@ class FastSession:
             self.metrics.inc("mccfr_steps")
             self.metrics.inc("mccfr_nodes", int(m["nodes"]))
             self.metrics.inc("mccfr_infos", int(m["touched_rows"]))
+            if "dropped" in m:
+                self.metrics.inc("mccfr_dropped", int(m["dropped"]))
+            if "fallbacks" in m:
+                self.metrics.inc("mccfr_fallbacks", int(m["fallbacks"]))
             if self.metrics.maybe_log() is not None:
                 # sum-regret reduces on device; only the scalar crosses the
                 # (slow) host link, and only at log cadence

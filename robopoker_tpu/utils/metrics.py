@@ -18,6 +18,9 @@ from typing import Callable
 # the reference's central metric names (metrics.rs:28-67)
 COUNTERS = (
     "mccfr_steps", "mccfr_nodes", "mccfr_infos",
+    # coverage-loss accounting: worklist entries dropped at a level cap
+    # (bias risk if >~1% of nodes) and probe-ladder exhaustions
+    "mccfr_dropped", "mccfr_fallbacks",
     "kmeans_iterations", "subgame_decisions", "subgame_iterations",
     "http_requests", "db_ops", "slumbot_hands",
 )
