@@ -70,6 +70,12 @@ class TrainerConfig:
     level_caps: tuple[int, ...] | None = None
     # legacy alias (pre-compaction configs passed per-tree level width)
     level_cap: int | None = None
+    # warmstart bias: initial regret seeded into legal columns when a row
+    # is first claimed (ref: crates/kicker/src/bias.rs via Edge::regret;
+    # the reference's production default is BiasHyperParams()). None = no
+    # seeding — the historical behavior, and the setting every program
+    # compiled before this field existed is equivalent to.
+    warmstart_bias: object = None  # BiasHyperParams | None
 
     def __post_init__(self):
         if self.level_cap is not None:
@@ -587,6 +593,18 @@ def make_nlhe_step(
                                  training_hp.regret_min),
             sub_regret,
         )
+        if C.warmstart_bias is not None:
+            # seed fresh rows' legal columns with the warmstart bias
+            # (ref: bias.rs — the reference seeds at infoset creation; here
+            # the seed lands with the row's first update, so it shapes the
+            # policy from the row's second visit onward). Duplicate subset
+            # indices write identical values, preserving the .set contract.
+            BIAS = jnp.asarray(
+                C.warmstart_bias.column_vector(N_COLS), jnp.float32)
+            fresh = (table.key_lo[rows] == 0) & (table.key_hi[rows] == 0) \
+                & live & sub_oc & upd_bc
+            new_regret = new_regret + jnp.where(
+                fresh[:, None] & sub_legal, BIAS[None, :], 0.0)
         regret = table.regret.at[rows].set(
             jnp.where(live[:, None], new_regret, sub_regret)
         )

@@ -56,6 +56,25 @@ class WarmstartHyperParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class BiasHyperParams:
+    """Initial regret seed weights at fresh infosets (warmstart bias,
+    ref: crates/kicker/src/bias.rs:49-68). Ratios ~50/25/25 fold/call/
+    raise in fold-call-raise spots; shove earns its regret unseeded."""
+
+    folds: float = 100.0
+    raise_: float = 10.0   # per sized-raise edge
+    shove: float = 0.0
+    other: float = 50.0    # check/call
+
+    def column_vector(self, n_cols: int = 9):
+        """[n_cols] bias by menu column (fold, check, call, shove,
+        raises…) — the column layout of kicker/edges.py."""
+        return [self.folds, self.other, self.other, self.shove] + (
+            [self.raise_] * (n_cols - 4)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class KmeansHyperParams:
     iterations: int = 32       # Elkan iterations per street
     drift_threshold: float = 1e-4

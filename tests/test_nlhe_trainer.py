@@ -121,3 +121,32 @@ def test_payoff_finite(stepped):
     assert np.abs(p).max() < 1e5
     r = np.asarray(table.regret)
     assert np.isfinite(r).all()
+
+
+def test_warmstart_bias_seeds_fresh_rows():
+    """Fresh rows' legal columns get the bias.rs seed (fold 100, call/
+    check 50, raise 10/edge, shove 0); tree building is unaffected and
+    bias=None stays the historical program."""
+    import dataclasses
+
+    from robopoker_tpu.pokerkit.hyperparams import BiasHyperParams
+
+    key = jax.random.PRNGKey(0)
+    base = make_nlhe_step(
+        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING, CFG
+    )
+    t0, _ = base(init_table(CFG.table_log2), key)
+    biased = make_nlhe_step(
+        proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT, PLURIBUS_SAMPLING,
+        dataclasses.replace(CFG, warmstart_bias=BiasHyperParams()),
+    )
+    tb, _ = biased(init_table(CFG.table_log2), key)
+
+    assert np.array_equal(np.asarray(t0.visits), np.asarray(tb.visits))
+    occ = np.asarray(tb.visits) > 0
+    delta = np.asarray(tb.regret)[occ] - np.asarray(t0.regret)[occ]
+    # fold column: exactly {0 (illegal/absent), 100}; shove never seeded
+    assert set(np.unique(np.round(delta[:, 0], 3))) <= {0.0, 100.0}
+    assert (delta[:, 3] == 0).all()
+    assert set(np.unique(np.round(delta[:, 4:], 3))) <= {0.0, 10.0}
+    assert (delta[:, 0] == 100.0).any()       # some fold seeds landed
