@@ -656,6 +656,17 @@ def build_app(blueprint, resolver=None, workdir="artifacts", artifacts=None,
         md, ok = litmus_mod.run(blueprint, path)
         return web.json_response({"passed": ok, "report": md})
 
+    @routes.post("/litmus/run/markdown")
+    async def litmus_markdown(request):
+        payload = await request.json()
+        path = payload.get(
+            "scenarios",
+            str(pathlib.Path(__file__).parent / "scenarios.json"),
+        )
+        md, ok = litmus_mod.run(blueprint, path)
+        return web.Response(text=md, content_type="text/markdown",
+                            status=200 if ok else 500)
+
     app = web.Application()
     app.add_routes(routes)
     if members is not None:
