@@ -4,9 +4,11 @@ TPU-native counterpart of the reference's ``Lookup: BTreeMap<Isomorphism,
 Abstraction>`` (ref: crates/lloyd/src/lookup.rs:25-193) and the
 ``NlheEncoder``'s 138M-row hydrated map (ref: crates/nlhe/src/
 encoder.rs:196-215). B-trees don't exist on a TPU; the replacement is an
-**open-addressed hash table built exactly on the host** (collisions
-resolved by linear probing at build time) and queried on device with a
-fixed probe depth — pure gathers, no data-dependent loops.
+**open-addressed hash table built exactly on the host** (double-hashed
+probing, vectorized claim rounds — a Python insert loop would take half
+an hour at the exhaustive turn street's 13.96M keys) and queried on
+device with a fixed probe depth: one batched ``[N, probes]`` gather plus
+a select, no data-dependent loops.
 """
 
 from __future__ import annotations
@@ -17,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-PROBES = 8
+PROBES = 8  # device probe depth for small/sampled tables (load ≤ 0.25)
 
 
 @dataclasses.dataclass
@@ -25,6 +27,7 @@ class IsoLookup:
     key1: np.ndarray   # i32 [T]
     key2: np.ndarray   # i32 [T]
     value: np.ndarray  # i32 [T] (bucket id; -1 empty)
+    probes: int = PROBES  # device probe depth covering the longest chain
 
     @property
     def capacity(self) -> int:
@@ -39,67 +42,137 @@ class IsoLookup:
         already-device tables."""
         return IsoLookup(
             jnp.asarray(self.key1), jnp.asarray(self.key2),
-            jnp.asarray(self.value),
+            jnp.asarray(self.value), self.probes,
         )
+
+    def compact(self) -> dict:
+        """Occupied-slot triplets for artifact files — an exhaustive
+        street's table is mostly structure (load 0.5), so persisting
+        (h1, h2, value) of residents halves the file and lets the load
+        path rebuild the exact table with ``build_lookup``."""
+        occ = np.flatnonzero(np.asarray(self.value) >= 0)
+        return {
+            "lookup_h1": np.asarray(self.key1)[occ],
+            "lookup_h2": np.asarray(self.key2)[occ],
+            "lookup_val": np.asarray(self.value)[occ].astype(np.int32),
+        }
+
+
+def _chain_slots(h1, h2, depth, mask):
+    """Double-hashed candidate slot at probe offset ``depth``: odd stride
+    from h2 guarantees a full cycle on a power-of-two table (same scheme
+    as the trainer's nlhe/table.py probe_rows)."""
+    base = (h1.astype(np.int64) ^ h2.astype(np.int64)) & mask
+    stride = ((h2.astype(np.int64) << 1) | 1)
+    return (base + depth * stride) & mask
 
 
 def build_lookup(h1: np.ndarray, h2: np.ndarray, values: np.ndarray,
-                 load: float = 0.5) -> IsoLookup:
-    """Host-side exact insert with linear probing (keys = 64-bit pairs)."""
+                 load: float = 0.5, max_probes: int = 64) -> IsoLookup:
+    """Host-side exact insert, vectorized.
+
+    Claim rounds: every unplaced key proposes its depth-d candidate slot;
+    keys whose slot already holds their own key are done (idempotent
+    rebuild), unique claimants of empty slots win them, losers advance to
+    depth d+1. Rounds ≈ the longest probe chain (~log of the key count at
+    load 0.5), each O(pending) numpy work.
+    """
+    h1 = np.asarray(h1, np.int32)
+    h2 = np.asarray(h2, np.int32)
+    values = np.asarray(values, np.int32)
     n = len(values)
     cap = 1 << int(np.ceil(np.log2(max(n / load, 16))))
     mask = cap - 1
     k1 = np.zeros(cap, np.int32)
     k2 = np.zeros(cap, np.int32)
     val = np.full(cap, -1, np.int32)
-    slots = (h1.astype(np.int64) ^ h2.astype(np.int64)) & mask
-    for i in range(n):
-        s = int(slots[i])
-        for probe in range(cap):
-            if val[s] == -1:
-                k1[s], k2[s], val[s] = h1[i], h2[i], values[i]
-                break
-            if k1[s] == h1[i] and k2[s] == h2[i]:
-                val[s] = values[i]  # overwrite (idempotent rebuild)
-                break
-            s = (s + 1) & mask
-        else:
-            raise RuntimeError("lookup table full")
-        if probe >= PROBES:
-            # grow until every chain fits the device's fixed probe depth
-            return build_lookup(h1, h2, values, load=load / 2)
-    return IsoLookup(k1, k2, val)
+    pending = np.arange(n)
+    depth = np.int64(0)
+    max_depth = 0
+    while len(pending):
+        if depth >= max_probes:
+            return build_lookup(h1, h2, values, load=load / 2,
+                                max_probes=max_probes)
+        s = _chain_slots(h1[pending], h2[pending], depth, mask)
+        mine = (val[s] >= 0) & (k1[s] == h1[pending]) & (k2[s] == h2[pending])
+        free = np.flatnonzero(val[s] < 0)
+        if len(free):
+            _, first = np.unique(s[free], return_index=True)
+            win = free[first]
+            ws = s[win]
+            k1[ws] = h1[pending[win]]
+            k2[ws] = h2[pending[win]]
+            val[ws] = values[pending[win]]
+            placed = np.zeros(len(pending), bool)
+            placed[win] = True
+            mine = mine | placed
+        if mine.any():
+            val[s[mine]] = values[pending[mine]]  # idempotent overwrite
+            max_depth = int(depth)
+        pending = pending[~mine]
+        depth += 1
+    probes = max(1, max_depth + 1)
+    return IsoLookup(k1, k2, val, probes=probes)
 
 
 def lookup_device(table: IsoLookup, h1: jnp.ndarray, h2: jnp.ndarray,
                   default: int = 0) -> jnp.ndarray:
     """Device query: [N] hash pairs → [N] bucket ids (default if absent).
 
-    Fixed-depth probe; the host build guarantees every present key is
-    reachable within its probe chain, and PROBES bounds worst-case chains
-    for load ≤ 0.5 with overwhelming probability (longer chains would
-    have failed loudly at build time via verify_probe_depth).
+    One batched ``[N, probes]`` gather over the double-hashed candidate
+    ladder; the host build sized ``table.probes`` to the longest real
+    chain, so every present key is reachable.
     """
     cap = table.capacity
     k1 = jnp.asarray(table.key1)
     k2 = jnp.asarray(table.key2)
     val = jnp.asarray(table.value)
-    s0 = (h1 ^ h2) & (cap - 1)
-    out = jnp.full(h1.shape, default, jnp.int32)
-    found = jnp.zeros(h1.shape, bool)
-    for i in range(PROBES):
-        s = (s0 + i) & (cap - 1)
-        hit = (~found) & (k1[s] == h1) & (k2[s] == h2) & (val[s] >= 0)
-        out = jnp.where(hit, val[s], out)
-        found = found | hit
-    return out
+    mask = cap - 1
+    base = (h1 ^ h2) & mask
+    stride = (h2 << 1) | 1
+    offs = jnp.arange(table.probes, dtype=jnp.int32)
+    cand = (base[..., None] + offs * stride[..., None]) & mask
+    k1c = k1[cand]
+    k2c = k2[cand]
+    vc = val[cand]
+    hit = (k1c == h1[..., None]) & (k2c == h2[..., None]) & (vc >= 0)
+    any_hit = hit.any(-1)
+    pick = jnp.argmax(hit, axis=-1)
+    out = jnp.take_along_axis(vc, pick[..., None], axis=-1)[..., 0]
+    return jnp.where(any_hit, out, jnp.int32(default))
 
 
 def verify_probe_depth(table: IsoLookup) -> int:
-    """Max probe distance of any occupied slot from its home (host audit)."""
-    cap = table.capacity
-    mask = cap - 1
-    occ = np.nonzero(table.value >= 0)[0]
-    home = (table.key1[occ].astype(np.int64) ^ table.key2[occ].astype(np.int64)) & mask
-    dist = (occ - home) & mask
-    return int(dist.max()) if len(occ) else 0
+    """Max probe distance of any resident key from its home slot (host
+    audit; must be < table.probes for device queries to see every key)."""
+    occ = np.flatnonzero(np.asarray(table.value) >= 0)
+    if not len(occ):
+        return 0
+    h1 = np.asarray(table.key1)[occ]
+    h2 = np.asarray(table.key2)[occ]
+    mask = table.capacity - 1
+    unplaced = np.ones(len(occ), bool)
+    worst = 0
+    for d in range(table.probes):
+        s = _chain_slots(h1, h2, np.int64(d), mask)
+        here = unplaced & (s == occ)
+        if here.any():
+            worst = d
+        unplaced &= ~here
+        if not unplaced.any():
+            return worst
+    raise AssertionError("resident key unreachable within table.probes")
+
+
+def load_lookup(z) -> IsoLookup | None:
+    """Read a lookup from an open .npz: the compact triplet format
+    (lookup_h1/h2/val — rebuilt exactly via build_lookup) or the legacy
+    dense-slab format (lookup_key1/key2/value, linear probing era —
+    rebuilt too so the probing scheme matches the current code)."""
+    if "lookup_h1" in z.files:
+        return build_lookup(z["lookup_h1"], z["lookup_h2"], z["lookup_val"])
+    if "lookup_key1" in z.files:
+        occ = z["lookup_value"] >= 0
+        return build_lookup(z["lookup_key1"][occ], z["lookup_key2"][occ],
+                            z["lookup_value"][occ])
+    return None

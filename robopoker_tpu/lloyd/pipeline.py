@@ -65,10 +65,10 @@ def load_street_artifacts(path) -> dict:
         if not p.exists():
             continue
         with np.load(p) as z:
+            from .lookup import load_lookup
+
             out[street] = StreetArtifacts(
-                street, z["centroids"],
-                IsoLookup(z["lookup_key1"], z["lookup_key2"],
-                          z["lookup_value"]),
+                street, z["centroids"], load_lookup(z),
                 z["metric"], z["assignment"],
                 pocket=z["pocket"] if "pocket" in z.files else None,
                 board=z["board"] if "board" in z.files else None,
@@ -83,11 +83,20 @@ def sample_observations(key, n: int, n_board: int, rng_seed: int = 0):
     return deals[:, :2].astype(np.int32), deals[:, 2:].astype(np.int32)
 
 
-def dedupe_canonical(pocket: np.ndarray, board: np.ndarray):
-    """Keep one representative per canonical class; return arrays + hashes."""
-    words = np.ascontiguousarray(
-        canonical_key(jnp.asarray(pocket), jnp.asarray(board))
-    )
+def dedupe_canonical(pocket: np.ndarray, board: np.ndarray,
+                     chunk: int = 1 << 20):
+    """Keep one representative per canonical class; return arrays + hashes.
+
+    Host-chunked device dispatches: the exhaustive turn street passes
+    13.96M points — one giant canonical_key call would hold the whole
+    24-permutation workspace at once and take minutes per dispatch
+    (remote-tunnel wedging risk, CLAUDE.md)."""
+    words = np.concatenate([
+        np.ascontiguousarray(canonical_key(
+            jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board[i:i + chunk])
+        ))
+        for i in range(0, len(pocket), chunk)
+    ])
     _, idx = np.unique(
         words.view([("", words.dtype)] * words.shape[1]).ravel(),
         return_index=True,

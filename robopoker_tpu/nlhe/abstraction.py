@@ -96,7 +96,7 @@ class LookupBucket:
 
         import numpy as np
 
-        from ..lloyd.lookup import IsoLookup
+        from ..lloyd.lookup import load_lookup
 
         out = pathlib.Path(out_dir)
 
@@ -105,9 +105,7 @@ class LookupBucket:
             if not p.exists():
                 return None
             with np.load(p) as z:
-                return IsoLookup(
-                    z["lookup_key1"], z["lookup_key2"], z["lookup_value"]
-                )
+                return load_lookup(z)
 
         return cls(flop_lookup=one("flop"), turn_lookup=one("turn"))
 

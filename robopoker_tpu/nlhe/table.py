@@ -40,6 +40,13 @@ class InfoTable(NamedTuple):
     visits: jnp.ndarray   # i32 [T]
     key_lo: jnp.ndarray   # i32 [T]  stored key words (collision audit)
     key_hi: jnp.ndarray   # i32 [T]
+    # sidecar words persisted with the key claim so analysis endpoints
+    # can attribute rows (the reference keeps these in its Postgres row
+    # key, ref: crates/daybook/src/traits/row.rs:47-57; a hash-addressed
+    # table must store them explicitly): bucket = abstraction word + 1
+    # (0 = unknown/legacy checkpoint), choices = 9-bit legal-column mask
+    bucket: jnp.ndarray   # i32 [T]
+    choices: jnp.ndarray  # i32 [T]
     epoch: jnp.ndarray    # i32 scalar
 
     @property
@@ -56,6 +63,8 @@ def init_table(capacity_log2: int = 20) -> InfoTable:
         visits=jnp.zeros(t, jnp.int32),
         key_lo=jnp.zeros(t, jnp.int32),
         key_hi=jnp.zeros(t, jnp.int32),
+        bucket=jnp.zeros(t, jnp.int32),
+        choices=jnp.zeros(t, jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
     )
 

@@ -191,7 +191,7 @@ def make_nlhe_step(
         cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
         sub = G.packed_subgame(states)
         klo, khi = make_key(bucket, sub, cmask)
-        return klo, khi, legal
+        return klo, khi, legal, bucket.astype(jnp.int32)
 
     def roll(states, table, walker, key, include_walker=False, steps=None):
         """Advance through opponent/chance (and optionally sampled walker)
@@ -205,7 +205,7 @@ def make_nlhe_step(
             t = G.turn_of(states)
             is_opp = (t <= 1) & (t != walker)
             is_act = is_opp | (include_walker & (t == walker))
-            klo, khi, legal = lookup(states)
+            klo, khi, legal, _ = lookup(states)
             row, _ = probe_rows(table.key_lo, table.key_hi, klo, khi,
                                 C.n_probes)
             q = exploration_rows(table.weight[row], legal, sampling_hp)
@@ -326,13 +326,13 @@ def make_nlhe_step(
             the measured frontier profile (``level_emit`` metric), so
             narrow early/late levels stop paying the peak level's lanes."""
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-             valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-             dropped, fallbacks, level_live, level_emit) = meta
+             valid, row_of, klo_of, khi_of, buck_of, legal_of, branch_of,
+             n_slots, dropped, fallbacks, level_live, level_emit) = meta
             work_states, work_tree, work_valid, work_slot = work
             w_in = work_tree.shape[0]
             level_live = level_live.at[lvl].set(work_valid.sum())
 
-            klo, khi, legal = lookup(work_states)
+            klo, khi, legal, buck = lookup(work_states)
             row, fb = probe_rows(table.key_lo, table.key_hi, klo, khi,
                                  C.n_probes)
             fallbacks = fallbacks + (fb & work_valid).sum()
@@ -382,6 +382,7 @@ def make_nlhe_step(
             row_of = flat_scat(row_of, sl_flat, row, SPILL)
             klo_of = flat_scat(klo_of, sl_flat, klo, SPILL)
             khi_of = flat_scat(khi_of, sl_flat, khi, SPILL)
+            buck_of = flat_scat(buck_of, sl_flat, buck, SPILL)
             legal_of = flat_scat(legal_of, sl_flat, legal, SPILL)
             branch_of = flat_scat(branch_of, sl_flat, ok3, SPILL)
 
@@ -433,17 +434,18 @@ def make_nlhe_step(
             term_value = flat_scat(term_value, csf, vv, SPILL)
 
             meta = (parent, pcol, ratio_in, reach, is_term, term_value,
-                    level_of, valid, row_of, klo_of, khi_of, legal_of,
-                    branch_of, n_slots, dropped, fallbacks, level_live,
-                    level_emit)
+                    level_of, valid, row_of, klo_of, khi_of, buck_of,
+                    legal_of, branch_of, n_slots, dropped, fallbacks,
+                    level_live, level_emit)
             return meta, (st, next_tree, next_valid & ~term, next_slot)
 
         fallbacks = jnp.zeros((), jnp.int32)
         level_live = jnp.zeros(C.max_levels, jnp.int32)
         level_emit = jnp.zeros(C.max_levels, jnp.int32)
+        buck_of = jnp.zeros((B, CAP), jnp.int32)
         meta = (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-                valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-                dropped, fallbacks, level_live, level_emit)
+                valid, row_of, klo_of, khi_of, buck_of, legal_of, branch_of,
+                n_slots, dropped, fallbacks, level_live, level_emit)
         root_work = (roots, jnp.arange(B, dtype=jnp.int32), ~term0,
                      jnp.zeros(B, jnp.int32))
 
@@ -484,8 +486,8 @@ def make_nlhe_step(
             )
 
         (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-         valid, row_of, klo_of, khi_of, legal_of, branch_of, n_slots,
-         dropped, fallbacks, level_live, level_emit) = meta
+         valid, row_of, klo_of, khi_of, buck_of, legal_of, branch_of,
+         n_slots, dropped, fallbacks, level_live, level_emit) = meta
         work_states, work_tree, work_valid, work_slot = work
         w_tail = work_tree.shape[0]
         SPILLW = B * CAP
@@ -565,10 +567,19 @@ def make_nlhe_step(
             upd_bc = jax.lax.all_gather(upd.reshape(-1), axis_name).reshape(-1)
             klo_bc = jax.lax.all_gather(klo_of.reshape(-1), axis_name).reshape(-1)
             khi_bc = jax.lax.all_gather(khi_of.reshape(-1), axis_name).reshape(-1)
+            buck_bc = jax.lax.all_gather(
+                buck_of.reshape(-1), axis_name).reshape(-1)
+            cm_of = (legal_of.astype(jnp.int32)
+                     * (1 << jnp.arange(N_COLS))).sum(-1)
+            cm_bc = jax.lax.all_gather(
+                cm_of.reshape(-1), axis_name).reshape(-1)
         else:
             upd_bc = upd.reshape(-1)
             klo_bc = klo_of.reshape(-1)
             khi_bc = khi_of.reshape(-1)
+            buck_bc = buck_of.reshape(-1)
+            cm_bc = (legal_of.astype(jnp.int32)
+                     * (1 << jnp.arange(N_COLS))).sum(-1).reshape(-1)
 
         # --- apply schedules on the touched-row SUBSET --------------------
         # the epoch touches ≤ B*CAP rows; gather-modify-scatter over that
@@ -649,10 +660,19 @@ def make_nlhe_step(
         wr = live & sub_oc & upd_bc & claimable
         key_lo = table.key_lo.at[rows].set(jnp.where(wr, klo_bc, cur_lo))
         key_hi = table.key_hi.at[rows].set(jnp.where(wr, khi_bc, cur_hi))
+        # sidecar words travel with the key claim (bucket stored +1 so 0
+        # stays "unknown" for legacy checkpoints) — these give the
+        # analysis endpoints exact street/grid attribution, the piece the
+        # reference keeps in its Postgres row key
+        bucket = table.bucket.at[rows].set(
+            jnp.where(wr, buck_bc + 1, table.bucket[rows]))
+        choices = table.choices.at[rows].set(
+            jnp.where(wr, cm_bc, table.choices[rows]))
 
         new_table = InfoTable(
             regret=regret, weight=weight, payoff=payoff, visits=visits,
-            key_lo=key_lo, key_hi=key_hi, epoch=t + 1,
+            key_lo=key_lo, key_hi=key_hi, bucket=bucket, choices=choices,
+            epoch=t + 1,
         )
         metrics = {
             "nodes": valid.sum(),

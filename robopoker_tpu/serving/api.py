@@ -39,10 +39,10 @@ unauthenticated here.
 Street-attribution note: the reference's `street-stats` joins blueprint
 rows on the stored `present` bucket (ref: portal/src/training/api.rs
 street CASE with an ELSE '?' arm). Our HBM table keys rows by an
-avalanche hash of (bucket, path, choices) and does not retain the bucket
-word, so per-row street recovery is impossible after the fact; the
-endpoint reports the whole table under the reference's own '?' street
-until the table grows a street sidecar column (planned round-2 schema).
+avalanche hash of (bucket, path, choices); the bucket and choices words
+are persisted in sidecar columns with each key claim (nlhe/table.py),
+so street-stats and grid-usage attribute exactly. Rows from legacy
+(pre-sidecar) checkpoints land in the reference's own '?' arm.
 """
 
 from __future__ import annotations
@@ -161,24 +161,30 @@ def build_app(blueprint, resolver=None, workdir="artifacts", artifacts=None,
 
     @routes.get("/strategy/grid-usage")
     async def grid_usage(request):
-        # per-edge strategy frequency across the blueprint (ref: portal
-        # grid_usage — avg_freq per decision, weighted_freq by visits);
-        # street attribution follows the street-stats '?' note
+        # per-(street, edge) strategy frequency across the blueprint
+        # (ref: portal grid_usage — avg_freq per decision, weighted_freq
+        # by visits); street attribution from the bucket sidecar, with
+        # the choices sidecar as the per-row availability mask where the
+        # accumulators have not yet touched an edge
         h = host_table()
-        occ = h["occupied"]
-        w = np.maximum(h["weight"][occ], 0.0)
-        tot = w.sum(axis=1, keepdims=True)
-        avail = h["edge_mask"][occ]
-        per_dec = np.where(tot > 0, w / np.maximum(tot, 1e-30), 0.0)
-        n_avail = np.maximum(avail.sum(axis=0), 1)
-        usage = [{
-            "street": "?",
-            "edge": int(c),
-            "avg_freq": float((per_dec[:, c] * avail[:, c]).sum() / n_avail[c]),
-            "weighted_freq": float(
-                w[avail[:, c], c].sum()
-                / max(tot[avail[:, c], 0].sum(), 1e-30)),
-        } for c in range(w.shape[1])]
+        usage = []
+        for name, idx in street_groups(h):
+            w = np.maximum(h["weight"][idx], 0.0)
+            tot = w.sum(axis=1, keepdims=True)
+            cm = h["choices"][idx]
+            legal = ((cm[:, None] >> np.arange(w.shape[1])) & 1).astype(bool)
+            avail = h["edge_mask"][idx] | legal
+            per_dec = np.where(tot > 0, w / np.maximum(tot, 1e-30), 0.0)
+            n_avail = np.maximum(avail.sum(axis=0), 1)
+            usage += [{
+                "street": name,
+                "edge": int(c),
+                "avg_freq": float(
+                    (per_dec[:, c] * avail[:, c]).sum() / n_avail[c]),
+                "weighted_freq": float(
+                    w[avail[:, c], c].sum()
+                    / max(tot[avail[:, c], 0].sum(), 1e-30)),
+            } for c in range(w.shape[1])]
         return web.json_response({"usage": usage})
 
     # --- gameplay: hand-log summaries + AIVAT (ref: portal gameplay
@@ -330,6 +336,8 @@ def build_app(blueprint, resolver=None, workdir="artifacts", artifacts=None,
             _host["visits"] = np.asarray(t.visits)
             _host["key_lo"] = np.asarray(t.key_lo)
             _host["key_hi"] = np.asarray(t.key_hi)
+            _host["bucket"] = np.asarray(t.bucket)
+            _host["choices"] = np.asarray(t.choices)
             occ = (_host["visits"] > 0) | (_host["key_lo"] != 0) \
                 | (_host["key_hi"] != 0)
             _host["occupied"] = np.flatnonzero(occ)
@@ -377,24 +385,48 @@ def build_app(blueprint, resolver=None, workdir="artifacts", artifacts=None,
             "min_visits": int(vis.min()),
         })
 
+    STREET_NAMES = ["preflop", "flop", "turn", "river"]
+
+    def street_groups(h):
+        """Partition occupied rows by the bucket-sidecar street tag.
+
+        The stored word is ``bucket+1`` (0 = legacy checkpoint without
+        sidecars → the reference's own '?' arm); the bucket's high byte
+        is the street, with proxy-fallback buckets tagged ``street+4``
+        (nlhe/abstraction.py) folded back onto their street.
+        """
+        occ = h["occupied"]
+        word = h["bucket"][occ]
+        tag = (word - 1) >> 8
+        street = np.where(tag < 4, tag, tag - 4)
+        groups = [("?", occ[word == 0])]
+        for s, name in enumerate(STREET_NAMES):
+            groups.append((name, occ[(word > 0) & (street == s)]))
+        return [(name, idx) for name, idx in groups if idx.size]
+
     @routes.get("/training/street-stats")
     async def training_street_stats(request):
-        # hashed rows do not retain the bucket word → the whole table
-        # lands in the reference's own '?' street arm (module docstring)
+        # per-street aggregates from the bucket sidecar (ref: portal
+        # training street_stats — SQL GROUP BY on the blueprint's bucket
+        # column; ours groups the HBM table's sidecar words)
         h = host_table()
-        occ = h["occupied"]
-        em = h["edge_mask"][occ] if occ.size else np.zeros((0, 9), bool)
-        reg = h["regret"][occ][em] if occ.size else np.zeros(0)
-        row = {
-            "street": "?",
-            "infosets": int(occ.size),
-            "edges": int(em.sum()),
-            "avg_regret": float(reg.mean()) if reg.size else 0.0,
-            "avg_weight": float(h["weight"][occ][em].mean()) if reg.size else 0.0,
-            "avg_payoff": float(h["payoff"][occ][em].mean()) if reg.size else 0.0,
-            "avg_visits": float(h["visits"][occ].mean()) if occ.size else 0.0,
-        }
-        return web.json_response({"streets": [row]})
+        rows = []
+        for name, idx in street_groups(h):
+            em = h["edge_mask"][idx]
+            reg = h["regret"][idx][em]
+            rows.append({
+                "street": name,
+                "infosets": int(idx.size),
+                "edges": int(em.sum()),
+                "avg_regret": float(reg.mean()) if reg.size else 0.0,
+                "avg_weight": float(h["weight"][idx][em].mean())
+                if reg.size else 0.0,
+                "avg_payoff": float(h["payoff"][idx][em].mean())
+                if reg.size else 0.0,
+                "avg_visits": float(h["visits"][idx].mean())
+                if idx.size else 0.0,
+            })
+        return web.json_response({"streets": rows})
 
     def _rows_payload(h, idx):
         em = h["edge_mask"]

@@ -612,7 +612,8 @@ def make_resolve_step(
         visits = local.visits + jnp.where(occ, counts, 0)
         return InfoTable(
             regret=regret, weight=weight, payoff=payoff, visits=visits,
-            key_lo=local.key_lo, key_hi=local.key_hi, epoch=t + 1,
+            key_lo=local.key_lo, key_hi=local.key_hi,
+            bucket=local.bucket, choices=local.choices, epoch=t + 1,
         )
 
     def world_broadcast(world, reps):

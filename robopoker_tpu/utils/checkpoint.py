@@ -56,6 +56,12 @@ def load_table(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
 
     with np.load(path) as z:
         check_fingerprint(str(z["fingerprint"]), config)
+        t = z["visits"].shape[0]
+
+        def side(name):  # legacy checkpoints predate the sidecar words
+            return jnp.asarray(z[name]) if name in z.files else \
+                jnp.zeros(t, jnp.int32)
+
         return InfoTable(
             regret=jnp.asarray(z["regret"]),
             weight=jnp.asarray(z["weight"]),
@@ -63,6 +69,8 @@ def load_table(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
             visits=jnp.asarray(z["visits"]),
             key_lo=jnp.asarray(z["key_lo"]),
             key_hi=jnp.asarray(z["key_hi"]),
+            bucket=side("bucket"),
+            choices=side("choices"),
             epoch=jnp.asarray(z["epoch"]),
         )
 
@@ -94,6 +102,7 @@ def save_compact(path: str | pathlib.Path, table: InfoTable,
                 regret=d["regret"][rows], weight=d["weight"][rows],
                 payoff=d["payoff"][rows], visits=d["visits"][rows],
                 key_lo=d["key_lo"][rows], key_hi=d["key_hi"][rows],
+                bucket=d["bucket"][rows], choices=d["choices"][rows],
                 epoch=d["epoch"],
             )
         os.replace(tmp, path)
@@ -114,7 +123,8 @@ def load_compact(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
         def dense(name, cols, dtype):
             shape = (t, cols) if cols else (t,)
             a = np.zeros(shape, dtype)
-            a[rows] = z[name]
+            if name in z.files:  # sidecars absent in legacy checkpoints
+                a[rows] = z[name]
             return jnp.asarray(a)
 
         from ..nlhe.table import N_COLS
@@ -126,5 +136,7 @@ def load_compact(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
             visits=dense("visits", 0, np.int32),
             key_lo=dense("key_lo", 0, np.int32),
             key_hi=dense("key_hi", 0, np.int32),
+            bucket=dense("bucket", 0, np.int32),
+            choices=dense("choices", 0, np.int32),
             epoch=jnp.asarray(z["epoch"]),
         )

@@ -37,13 +37,14 @@ def canonical_sample(n_board: int, budget: int, chunk: int = 1 << 16,
     total = native.n_observations(n_board)
     rng = np.random.default_rng(seed)
     # random-origin strided scan: covers the space uniformly-ish without
-    # enumerating all observations when budget << total
+    # enumerating all observations when budget << total; budget == 0
+    # walks every observation (the exhaustive sweep)
     n_chunks = max(1, min(total // chunk, 65536))
     starts = (np.sort(rng.integers(0, total, size=n_chunks))
               if budget else np.arange(0, total, chunk))
     t0 = time.time()
     seen_hashes = np.empty(0, np.int64)
-    pockets_acc, boards_acc = [], []
+    pockets_acc, boards_acc, hashes_acc = [], [], []
     count = 0
     for i, s in enumerate(starts):
         p, b = native.enumerate_observations(int(s), chunk, n_board)
@@ -54,21 +55,35 @@ def canonical_sample(n_board: int, budget: int, chunk: int = 1 << 16,
         h = (np.asarray(h1).astype(np.int64) << 32) | (
             np.asarray(h2).astype(np.int64) & 0xFFFFFFFF
         )
-        # vectorized two-stage dedupe: within-chunk then vs accumulated
-        uniq, idx = np.unique(h, return_index=True)
-        fresh = ~np.isin(uniq, seen_hashes, assume_unique=False)
-        keep = idx[fresh]
-        seen_hashes = np.concatenate([seen_hashes, uniq[fresh]])
-        pockets_acc.append(p[keep])
-        boards_acc.append(b[keep])
-        count += len(keep)
-        if budget and count >= budget:
-            break
+        if budget:
+            # vectorized two-stage dedupe: within-chunk then vs seen
+            uniq, idx = np.unique(h, return_index=True)
+            fresh = ~np.isin(uniq, seen_hashes, assume_unique=False)
+            keep = idx[fresh]
+            seen_hashes = np.concatenate([seen_hashes, uniq[fresh]])
+            pockets_acc.append(p[keep])
+            boards_acc.append(b[keep])
+            count += len(keep)
+            if count >= budget:
+                break
+        else:
+            # exhaustive: a per-chunk isin against the (millions-deep)
+            # accumulated set re-sorts it every chunk — hours of numpy.
+            # Collect everything and dedupe ONCE at the end instead.
+            keep = np.unique(h, return_index=True)[1]
+            hashes_acc.append(h[keep])
+            pockets_acc.append(p[keep].astype(np.int8))
+            boards_acc.append(b[keep].astype(np.int8))
+            count += len(keep)
         if i % 64 == 0:
             print(f"  scan {i}/{len(starts)}: {count} canonical "
                   f"({time.time()-t0:.0f}s)", flush=True)
     pockets = np.concatenate(pockets_acc)[: budget or None].astype(np.int32)
     boards = np.concatenate(boards_acc)[: budget or None].astype(np.int32)
+    if not budget:
+        h = np.concatenate(hashes_acc)
+        keep = np.unique(h, return_index=True)[1]
+        pockets, boards = pockets[keep], boards[keep]
     print(f"street {n_board}-board: {len(pockets)} canonical points "
           f"({time.time()-t0:.0f}s)", flush=True)
     return pockets, boards
@@ -81,6 +96,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget", type=int, default=100_000,
                     help="canonical points per street (0 = exhaustive)")
+    ap.add_argument("--turn-budget", type=int, default=None,
+                    help="override turn budget (0 = exhaustive)")
+    ap.add_argument("--flop-budget", type=int, default=None,
+                    help="override flop budget (0 = exhaustive)")
     ap.add_argument("--k", type=int, default=256)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=2048)
@@ -102,24 +121,35 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
     streets = set(args.streets.split(","))
 
+    def save_street(name, art, pocket, board):
+        # compact triplet lookup (rebuilt exactly at load), int8 cards,
+        # uint8 assignment (K ≤ 256): the exhaustive turn street (13.96M
+        # points) stays a git-committable artifact
+        np.savez_compressed(
+            out / f"{name}.npz", centroids=art.centroids, metric=art.metric,
+            assignment=np.asarray(art.assignment).astype(np.uint8),
+            pocket=pocket.astype(np.int8), board=board.astype(np.int8),
+            **art.lookup.compact(),
+        )
+
+    turn_budget = args.budget if args.turn_budget is None else args.turn_budget
+    flop_budget = ((args.budget // 2 if args.budget else 0)
+                   if args.flop_budget is None else args.flop_budget)
+
     if "turn" in streets:
         print("== turn street ==", flush=True)
-        p4, b4 = canonical_sample(4, args.budget)
+        p4, b4 = canonical_sample(4, turn_budget)
         t0 = time.time()
         turn = cluster_turn(p4, b4, k=args.k, key=key, chunk=args.chunk, hp=hp)
         print(f"turn clustered in {time.time()-t0:.0f}s", flush=True)
-        np.savez_compressed(
-            out / "turn.npz", centroids=turn.centroids, metric=turn.metric,
-            assignment=turn.assignment,
-            lookup_key1=turn.lookup.key1, lookup_key2=turn.lookup.key2,
-            lookup_value=turn.lookup.value,
-        )
+        save_street("turn", turn, p4, b4)
     else:
+        from robopoker_tpu.lloyd.lookup import load_lookup
+
         with np.load(out / "turn.npz") as z:
             turn = StreetArtifacts(
-                2, z["centroids"], IsoLookup(
-                    z["lookup_key1"], z["lookup_key2"], z["lookup_value"]
-                ), z["metric"], z["assignment"],
+                2, z["centroids"], load_lookup(z), z["metric"],
+                z["assignment"],
             )
         print(f"turn artifact loaded: {turn.centroids.shape[0]} clusters, "
               f"{len(turn.assignment)} points", flush=True)
@@ -128,17 +158,12 @@ def main():
         return
 
     print("== flop street ==", flush=True)
-    p3, b3 = canonical_sample(3, args.budget // 2 if args.budget else 0)
+    p3, b3 = canonical_sample(3, flop_budget)
     t0 = time.time()
     flop = cluster_flop(p3, b3, turn, k=args.k, key=key,
                         chunk=max(args.chunk // 4, 256), hp=hp)
     print(f"flop clustered in {time.time()-t0:.0f}s", flush=True)
-    np.savez_compressed(
-        out / "flop.npz", centroids=flop.centroids, metric=flop.metric,
-        assignment=flop.assignment,
-        lookup_key1=flop.lookup.key1, lookup_key2=flop.lookup.key2,
-        lookup_value=flop.lookup.value,
-    )
+    save_street("flop", flop, p3, b3)
     print(f"artifacts → {out}", flush=True)
 
 
