@@ -22,6 +22,7 @@ centroid uniform, then D²-weighted draws, deterministically keyed.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax
@@ -83,23 +84,43 @@ def assign(points: jnp.ndarray, centroids: jnp.ndarray, spec: EmdSpec,
         return jnp.argmin(d, axis=1).astype(jnp.int32)
 
     n = points.shape[0]
-    pad = (-n) % chunk
-    pts = jnp.pad(points, ((0, pad), (0, 0)))
     outs = []
-    for i in range(0, pts.shape[0], chunk):
-        outs.append(one(pts[i:i + chunk], centroids, cself))
+    for i in range(0, n, chunk):
+        block = points[i:i + chunk]
+        if block.shape[0] < chunk:
+            # pad only the tail block — padding the WHOLE array doubled
+            # HBM residency at exhaustive scale (14M x 101 f32 = 5.6 GB)
+            block = jnp.pad(block, ((0, chunk - block.shape[0]), (0, 0)))
+        outs.append(one(block, centroids, cself))
     return jnp.concatenate(outs)[:n]
 
 
 def recompute(points: jnp.ndarray, assignment: jnp.ndarray, k: int,
-              weights: jnp.ndarray | None = None) -> jnp.ndarray:
+              weights: jnp.ndarray | None = None,
+              chunk: int = 1 << 19) -> jnp.ndarray:
     """Centroid update: normalized (weighted) segment-sum of members —
-    the Absorb fold. Empty clusters keep a zero row (caller reseeds)."""
-    w = jnp.ones(points.shape[0], jnp.float32) if weights is None else weights
-    sums = jnp.zeros((k, points.shape[1]), jnp.float32).at[assignment].add(
-        points * w[:, None]
-    )
-    mass = jnp.zeros(k, jnp.float32).at[assignment].add(w)
+    the Absorb fold. Empty clusters keep a zero row (caller reseeds).
+
+    Chunked accumulation: a single full-size ``points * w`` temp plus the
+    scatter workspace OOMed the chip at exhaustive turn scale (14M x 101
+    f32); per-chunk partial sums into donated [k, bins] accumulators keep
+    the peak at one points-copy + one chunk."""
+    n, d = points.shape
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def add_chunk(sums, mass, pts, asg, ww):
+        sums = sums.at[asg].add(pts * ww[:, None])
+        mass = mass.at[asg].add(ww)
+        return sums, mass
+
+    sums = jnp.zeros((k, d), jnp.float32)
+    mass = jnp.zeros(k, jnp.float32)
+    for i in range(0, n, chunk):
+        ww = (jnp.ones(min(chunk, n - i), jnp.float32)
+              if weights is None else weights[i:i + chunk])
+        sums, mass = add_chunk(
+            sums, mass, points[i:i + chunk], assignment[i:i + chunk], ww
+        )
     return jnp.where(mass[:, None] > 0, sums / jnp.maximum(mass[:, None], 1e-30), 0.0)
 
 

@@ -106,25 +106,55 @@ def dedupe_canonical(pocket: np.ndarray, board: np.ndarray,
     return pocket[idx], board[idx], np.asarray(h1), np.asarray(h2)
 
 
+def _build_points_device(feat_fn, pocket: np.ndarray, board: np.ndarray,
+                         chunk: int, bins: int, label: str):
+    """Build [N_pad, bins] feature histograms directly into a single
+    device-resident buffer via donated dynamic_update_slice fills.
+
+    The exhaustive turn street is 14M x 101 f32 = 5.6 GB: materializing
+    the features on host and re-shipping them through the MB/s remote
+    tunnel (the old np.concatenate path) would take hours and double HBM
+    peak. Pad rows repeat row 0 (real observations) and are weight-masked
+    out of the centroid update by the caller."""
+    n = len(pocket)
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad > n:
+        pocket = np.concatenate([pocket, np.repeat(pocket[:1], n_pad - n, 0)])
+        board = np.concatenate([board, np.repeat(board[:1], n_pad - n, 0)])
+    buf = jnp.zeros((n_pad, bins), jnp.float32)
+    fill = jax.jit(
+        lambda b, x, i: jax.lax.dynamic_update_slice(b, x, (i, 0)),
+        donate_argnums=0,
+    )
+    import time as _time
+
+    t0 = _time.time()
+    for i in range(0, n_pad, chunk):
+        x = feat_fn(jnp.asarray(pocket[i:i + chunk]),
+                    jnp.asarray(board[i:i + chunk]))
+        buf = fill(buf, x, jnp.int32(i))
+        if (i // chunk) % 128 == 0:
+            print(f"  {label} {i}/{n} ({_time.time()-t0:.0f}s)", flush=True)
+    valid = (jnp.arange(n_pad) < n).astype(jnp.float32)
+    return buf, valid, n
+
+
 def cluster_turn(pocket: np.ndarray, board4: np.ndarray, k: int,
                  key, chunk: int = 2048,
                  hp: KmeansHyperParams = KmeansHyperParams()) -> StreetArtifacts:
     """Turn street: equity histograms + variation-EMD k-means
     (configs: K=256, 32 iters; ref: pokerkit/src/lib.rs:185-191)."""
     pocket, board4, h1, h2 = dedupe_canonical(pocket, board4)
-    feats = []
-    for i in range(0, len(pocket), chunk):
-        feats.append(np.asarray(turn_histograms(
-            jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board4[i:i + chunk])
-        )))
-        if (i // chunk) % 32 == 0:
-            print(f"  turn histograms {i}/{len(pocket)}", flush=True)
-    points = jnp.asarray(np.concatenate(feats))
-    res = cluster(points, k, EmdSpec("variation"), key, hp, chunk=chunk)
-    lookup = build_lookup(h1, h2, res.assignment.astype(np.int32))
+    points, valid, n = _build_points_device(
+        turn_histograms, pocket, board4, chunk, 101, "turn histograms"
+    )
+    res = cluster(points, k, EmdSpec("variation"), key, hp, chunk=chunk,
+                  weights=valid)
+    assignment = res.assignment[:n]
+    lookup = build_lookup(h1, h2, assignment.astype(np.int32))
     c = jnp.asarray(res.centroids)
     metric = np.asarray(variation_distance(c[:, None, :], c[None, :, :]))
-    return StreetArtifacts(2, res.centroids, lookup, metric, res.assignment)
+    return StreetArtifacts(2, res.centroids, lookup, metric, assignment)
 
 
 def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
@@ -136,18 +166,14 @@ def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
     pocket, board3, h1, h2 = dedupe_canonical(pocket, board3)
     kt = turn.centroids.shape[0]
     turn_lk = turn.lookup.device()  # ship the lookup table ONCE
-    feats = []
-    for i in range(0, len(pocket), chunk):
-        feats.append(np.asarray(child_cluster_histograms(
-            jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board3[i:i + chunk]),
-            turn_lk, kt,
-        )))
-        if (i // chunk) % 32 == 0:
-            print(f"  flop histograms {i}/{len(pocket)}", flush=True)
-    points = jnp.asarray(np.concatenate(feats))
+    points, valid, n = _build_points_device(
+        lambda p, b: child_cluster_histograms(p, b, turn_lk, kt),
+        pocket, board3, chunk, kt, "flop histograms",
+    )
     spec = EmdSpec("sinkhorn", cost=turn.metric, sinkhorn_hp=sinkhorn_hp)
-    res = cluster(points, k, spec, key, hp, chunk=chunk)
-    lookup = build_lookup(h1, h2, res.assignment.astype(np.int32))
+    res = cluster(points, k, spec, key, hp, chunk=chunk, weights=valid)
+    assignment = res.assignment[:n]
+    lookup = build_lookup(h1, h2, assignment.astype(np.int32))
     c = jnp.asarray(res.centroids)
     cost = jnp.asarray(turn.metric, jnp.float32)
     kk = c.shape[0]
@@ -158,4 +184,4 @@ def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
     metric = np.asarray(
         jnp.maximum(xy - 0.5 * (self_c[:, None] + self_c[None, :]), 0.0)
     )
-    return StreetArtifacts(1, res.centroids, lookup, metric, res.assignment)
+    return StreetArtifacts(1, res.centroids, lookup, metric, assignment)

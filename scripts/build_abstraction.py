@@ -102,6 +102,9 @@ def main():
                     help="override flop budget (0 = exhaustive)")
     ap.add_argument("--k", type=int, default=256)
     ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--flop-iters", type=int, default=None,
+                    help="override flop k-means iterations (Sinkhorn "
+                         "assignment dominates the exhaustive sweep)")
     ap.add_argument("--chunk", type=int, default=2048)
     ap.add_argument("--out", default="artifacts/abstraction")
     ap.add_argument("--streets", default="turn,flop",
@@ -160,8 +163,10 @@ def main():
     print("== flop street ==", flush=True)
     p3, b3 = canonical_sample(3, flop_budget)
     t0 = time.time()
+    fhp = (hp if args.flop_iters is None
+           else KmeansHyperParams(iterations=args.flop_iters))
     flop = cluster_flop(p3, b3, turn, k=args.k, key=key,
-                        chunk=max(args.chunk // 4, 256), hp=hp)
+                        chunk=max(args.chunk // 4, 256), hp=fhp)
     print(f"flop clustered in {time.time()-t0:.0f}s", flush=True)
     save_street("flop", flop, p3, b3)
     print(f"artifacts → {out}", flush=True)
