@@ -51,3 +51,64 @@ def test_turn_then_flop_pipeline():
     assert np.abs(np.diag(flop.metric)).max() < 1e-3
     # every flop point got a cluster
     assert (flop.assignment >= 0).all() and (flop.assignment < 6).all()
+
+
+def test_recompute_chunked_matches_dense():
+    """Chunked segment-sum recompute (exhaustive-scale path) must equal the
+    single-scatter formula, including weighted pad-row masking."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robopoker_tpu.lloyd.kmeans import recompute
+
+    rng = np.random.default_rng(7)
+    n, d, k = 1000, 11, 5
+    pts = jnp.asarray(rng.random((n, d)), jnp.float32)
+    asg = jnp.asarray(rng.integers(0, k, n), jnp.int32)
+    w = jnp.asarray((rng.random(n) > 0.1), jnp.float32)  # some zero-weight rows
+
+    dense_sums = np.zeros((k, d), np.float32)
+    dense_mass = np.zeros(k, np.float32)
+    np.add.at(dense_sums, np.asarray(asg), np.asarray(pts) * np.asarray(w)[:, None])
+    np.add.at(dense_mass, np.asarray(asg), np.asarray(w))
+    want = np.where(dense_mass[:, None] > 0,
+                    dense_sums / np.maximum(dense_mass[:, None], 1e-30), 0.0)
+
+    for chunk in (64, 333, 1000, 4096):  # incl. ragged tail + one-shot
+        got = np.asarray(recompute(pts, asg, k, weights=w, chunk=chunk))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # unweighted path with ragged tail
+    got = np.asarray(recompute(pts, asg, k, chunk=333))
+    dense_sums = np.zeros((k, d), np.float32)
+    dense_mass = np.zeros(k, np.float32)
+    np.add.at(dense_sums, np.asarray(asg), np.asarray(pts))
+    np.add.at(dense_mass, np.asarray(asg), 1.0)
+    want = dense_sums / np.maximum(dense_mass[:, None], 1e-30)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_build_points_device_pads_are_masked():
+    """_build_points_device pads inputs to a chunk multiple; pad rows must
+    carry zero weight and real rows must match a direct feature call."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robopoker_tpu.lloyd.pipeline import _build_points_device
+
+    def feat(p, b):  # toy feature: one-hot of pocket[0] into 52 bins
+        return jax.nn.one_hot(p[:, 0], 52)
+
+    import jax
+
+    rng = np.random.default_rng(3)
+    n = 71
+    pocket = rng.integers(0, 52, (n, 2)).astype(np.int32)
+    board = rng.integers(0, 52, (n, 4)).astype(np.int32)
+    buf, valid, n_out = _build_points_device(feat, pocket, board,
+                                             chunk=32, bins=52, label="t")
+    assert n_out == n
+    assert buf.shape == (96, 52)
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  (np.arange(96) < n).astype(np.float32))
+    want = np.asarray(feat(jnp.asarray(pocket), jnp.asarray(board)))
+    np.testing.assert_allclose(np.asarray(buf)[:n], want)
