@@ -85,7 +85,18 @@ def canonical_key_np(pocket: np.ndarray, board: np.ndarray) -> np.ndarray:
 
 
 def hash_key(words: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Canonical words [..., 4] → two 32-bit hash words (for hash tables)."""
+    """Canonical words [..., 4] → two 32-bit hash words (for hash tables).
+
+    KNOWN WEAKNESS (round-2 fix, needs artifact versioning): the combine
+    is bijective in (a, b) = (w0*c1 + w1, w2*c2 + w3) mod 2^32, and those
+    per-pair linear folds admit structured collisions (c*Δw0 ≡ Δw1 with
+    both words in 26-bit range). At exhaustive turn scale this merges
+    ~792 of the 13,960,050 classes (0.006%) — exhaustive dedupe in
+    scripts/build_abstraction.py therefore keys on the exact 104-bit
+    packed words instead. Strengthening the mix invalidates every stored
+    lookup table keyed by (h1, h2), so it ships with a hash-version field
+    in the artifacts rather than silently here.
+    """
 
     def _i32(c):
         return jnp.int32(c - (1 << 32) if c >= (1 << 31) else c)

@@ -34,6 +34,23 @@ def canonical_sample(n_board: int, budget: int, chunk: int = 1 << 16,
 
     from robopoker_tpu.deuce.isomorphism import hash_key
 
+    def exact_pack(words_np):
+        """[N,4] canonical words (26-bit each) → [N,2] int64 EXACT key.
+
+        The exhaustive sweep must dedupe on the exact 104-bit identity:
+        the 64-bit hash_key words collide for ~792 of the 13.96M turn
+        classes (its per-pair linear combines w0*c+w1 admit structured
+        collisions), silently merging distinct isomorphism classes and
+        undercounting vs the reference's street.rs oracle."""
+        w = words_np.astype(np.int64)
+        return np.column_stack([(w[:, 0] << 26) | w[:, 1],
+                                (w[:, 2] << 26) | w[:, 3]])
+
+    def unique_rows(kv):
+        """Indices of first occurrences of unique [N,2] int64 rows."""
+        v = kv.view([("a", np.int64), ("b", np.int64)]).ravel()
+        return np.unique(v, return_index=True)[1]
+
     total = native.n_observations(n_board)
     rng = np.random.default_rng(seed)
     # random-origin strided scan: covers the space uniformly-ish without
@@ -51,38 +68,44 @@ def canonical_sample(n_board: int, budget: int, chunk: int = 1 << 16,
         words = jnp.asarray(
             canonical_key(jnp.asarray(p), jnp.asarray(b))
         )
+        if not budget:
+            # exhaustive: dedupe on the EXACT packed words (hash dedupe
+            # merged 792 turn classes); a per-chunk isin against the
+            # (millions-deep) accumulated set re-sorts it every chunk —
+            # collect everything and dedupe ONCE at the end instead.
+            kv = exact_pack(np.asarray(words))
+            keep = unique_rows(kv)
+            hashes_acc.append(kv[keep])
+            pockets_acc.append(p[keep].astype(np.int8))
+            boards_acc.append(b[keep].astype(np.int8))
+            count += len(keep)
+            if i % 64 == 0:
+                print(f"  scan {i}/{len(starts)}: {count} canonical "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+            continue
         h1, h2 = hash_key(words)
         h = (np.asarray(h1).astype(np.int64) << 32) | (
             np.asarray(h2).astype(np.int64) & 0xFFFFFFFF
         )
-        if budget:
-            # vectorized two-stage dedupe: within-chunk then vs seen
-            uniq, idx = np.unique(h, return_index=True)
-            fresh = ~np.isin(uniq, seen_hashes, assume_unique=False)
-            keep = idx[fresh]
-            seen_hashes = np.concatenate([seen_hashes, uniq[fresh]])
-            pockets_acc.append(p[keep])
-            boards_acc.append(b[keep])
-            count += len(keep)
-            if count >= budget:
-                break
-        else:
-            # exhaustive: a per-chunk isin against the (millions-deep)
-            # accumulated set re-sorts it every chunk — hours of numpy.
-            # Collect everything and dedupe ONCE at the end instead.
-            keep = np.unique(h, return_index=True)[1]
-            hashes_acc.append(h[keep])
-            pockets_acc.append(p[keep].astype(np.int8))
-            boards_acc.append(b[keep].astype(np.int8))
-            count += len(keep)
+        # sampled path: vectorized two-stage dedupe (within-chunk by hash,
+        # then vs seen) — hash collisions only cost a dropped sample here
+        uniq, idx = np.unique(h, return_index=True)
+        fresh = ~np.isin(uniq, seen_hashes, assume_unique=False)
+        keep = idx[fresh]
+        seen_hashes = np.concatenate([seen_hashes, uniq[fresh]])
+        pockets_acc.append(p[keep])
+        boards_acc.append(b[keep])
+        count += len(keep)
+        if count >= budget:
+            break
         if i % 64 == 0:
             print(f"  scan {i}/{len(starts)}: {count} canonical "
                   f"({time.time()-t0:.0f}s)", flush=True)
     pockets = np.concatenate(pockets_acc)[: budget or None].astype(np.int32)
     boards = np.concatenate(boards_acc)[: budget or None].astype(np.int32)
     if not budget:
-        h = np.concatenate(hashes_acc)
-        keep = np.unique(h, return_index=True)[1]
+        kv = np.concatenate(hashes_acc)
+        keep = unique_rows(kv)
         pockets, boards = pockets[keep], boards[keep]
     print(f"street {n_board}-board: {len(pockets)} canonical points "
           f"({time.time()-t0:.0f}s)", flush=True)
