@@ -74,9 +74,19 @@ class FastSession:
             self.step = make_nlhe_step(
                 bucket, self.regret, self.weight, self.sampling, self.trainer,
             )
+        compact = self.workdir / "blueprint_compact.npz"
         if self.ckpt.exists():
             self.table = load_table(self.ckpt, self.run)  # fingerprint guard
             print(f"resumed blueprint at epoch {int(self.table.epoch)}")
+        elif compact.exists():
+            # the dense checkpoint is gitignored (GBs); the compact twin is
+            # tracked and reconstructs the exact dense table — without this
+            # fallback a fresh checkout silently serves an UNTRAINED table
+            # to litmus/lbr/serve (uniform policies)
+            from ..utils.checkpoint import load_compact
+
+            self.table = load_compact(compact, self.run)
+            print(f"resumed compact blueprint at epoch {int(self.table.epoch)}")
         else:
             self.table = init_table(self.trainer.table_log2)
         self.key = jax.random.PRNGKey(self.run.seed)
