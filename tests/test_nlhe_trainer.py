@@ -150,3 +150,25 @@ def test_warmstart_bias_seeds_fresh_rows():
     assert (delta[:, 3] == 0).all()
     assert set(np.unique(np.round(delta[:, 4:], 3))) <= {0.0, 10.0}
     assert (delta[:, 0] == 100.0).any()       # some fold seeds landed
+
+
+def test_fresh_checkout_resumes_from_compact(tmp_path):
+    """Only blueprint_compact.npz survives checkouts (dense is gitignored);
+    a FastSession pointed at such a workdir must reconstruct the trained
+    table instead of silently serving a fresh one."""
+    from robopoker_tpu.nlhe.forge import FastSession
+    from robopoker_tpu.utils.checkpoint import save_compact
+
+    cfg = TrainerConfig(batch=4, work_cap=1024, cap=128, max_levels=4,
+                        roll_steps=4, tail_steps=8, table_log2=12)
+    s = FastSession(workdir=str(tmp_path), trainer=cfg)
+    s.train(epochs=3)
+    save_compact(tmp_path / "blueprint_compact.npz", s.table, s.run)
+    # simulate the fresh checkout: the dense checkpoint is gitignored
+    (tmp_path / "blueprint.npz").unlink(missing_ok=True)
+
+    s2 = FastSession(workdir=str(tmp_path), trainer=cfg)
+    assert int(s2.table.epoch) == 3
+    for f in ("regret", "weight", "payoff", "visits", "key_lo", "key_hi"):
+        np.testing.assert_array_equal(np.asarray(getattr(s2.table, f)),
+                                      np.asarray(getattr(s.table, f)))
