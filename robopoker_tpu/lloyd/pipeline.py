@@ -60,7 +60,7 @@ def load_street_artifacts(path) -> dict:
     import pathlib
 
     out = {}
-    for street, name in ((1, "flop"), (2, "turn")):
+    for street, name in ((1, "flop"), (2, "turn"), (3, "river")):
         p = pathlib.Path(path) / f"{name}.npz"
         if not p.exists():
             continue
@@ -155,6 +155,36 @@ def cluster_turn(pocket: np.ndarray, board4: np.ndarray, k: int,
     c = jnp.asarray(res.centroids)
     metric = np.asarray(variation_distance(c[:, None, :], c[None, :, :]))
     return StreetArtifacts(2, res.centroids, lookup, metric, assignment)
+
+
+def build_river(pocket: np.ndarray, board5: np.ndarray,
+                chunk: int = 4096) -> StreetArtifacts:
+    """River street: exact-equity buckets, no clustering
+    (ref: crates/lloyd/src/lookup.rs:177-193 — ``grow(Rive)`` tabulates
+    ``iso.equity()`` per isomorphism; crates/kicker/src/abstraction.rs:89
+    quantizes to 0..=100). The artifact is the reference's 3.02 GB river
+    table re-shaped as a hash lookup: canonical iso → equity bucket."""
+    pocket, board5, h1, h2 = dedupe_canonical(pocket, board5)
+    from ..deuce.observation import equity_bucket, river_equity
+
+    @jax.jit
+    def one(p, b):
+        return equity_bucket(river_equity(p, b))
+
+    bks = []
+    for i in range(0, len(pocket), chunk):
+        bks.append(np.asarray(one(
+            jnp.asarray(pocket[i:i + chunk]), jnp.asarray(board5[i:i + chunk])
+        )))
+        if (i // chunk) % 128 == 0:
+            print(f"  river equity {i}/{len(pocket)}", flush=True)
+    buckets = np.concatenate(bks).astype(np.int32)
+    lookup = build_lookup(h1, h2, buckets)
+    # "centroids" for the river are the 101 one-hot equity bins; the
+    # metric is the variation distance between bins = |i - j| / 100
+    grid = np.abs(np.arange(101)[:, None] - np.arange(101)[None, :]) / 100.0
+    return StreetArtifacts(3, np.eye(101, dtype=np.float32), lookup,
+                           grid.astype(np.float32), buckets)
 
 
 def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,

@@ -83,11 +83,12 @@ class LookupBucket:
     miss rate for a batch of observations.
     """
 
-    def __init__(self, flop_lookup=None, turn_lookup=None):
+    def __init__(self, flop_lookup=None, turn_lookup=None, river_lookup=None):
         # device residency up front: eager callers (serving, litmus) would
         # otherwise re-ship the tables on every policy query
         self.flop = flop_lookup.device() if flop_lookup is not None else None
         self.turn = turn_lookup.device() if turn_lookup is not None else None
+        self.river = river_lookup.device() if river_lookup is not None else None
 
     @classmethod
     def load(cls, out_dir):
@@ -107,7 +108,8 @@ class LookupBucket:
             with np.load(p) as z:
                 return load_lookup(z)
 
-        return cls(flop_lookup=one("flop"), turn_lookup=one("turn"))
+        return cls(flop_lookup=one("flop"), turn_lookup=one("turn"),
+                   river_lookup=one("river"))
 
     def __call__(self, hole, board, street):
         from ..deuce.isomorphism import canonical_key, hash_key
@@ -134,6 +136,14 @@ class LookupBucket:
             hit = (street == 2) & (cl >= 0)
             out = jnp.where(hit, (2 << 8) | jnp.clip(cl, 0, 255), out)
             out = jnp.where((street == 2) & (cl < 0), base + (4 << 8), out)
+        if self.river is not None:
+            # river buckets ARE the reference abstraction: exact equity
+            # quantized 0..=100 (abstraction.rs:89-103) — table values,
+            # not cluster ids
+            cl = lookup_device(self.river, h1, h2, default=-1)
+            hit = (street == 3) & (cl >= 0)
+            out = jnp.where(hit, (3 << 8) | jnp.clip(cl, 0, 255), out)
+            out = jnp.where((street == 3) & (cl < 0), base + (4 << 8), out)
         return out
 
     def coverage(self, hole, board, street) -> float:
@@ -145,8 +155,9 @@ class LookupBucket:
 
         words = canonical_key(hole, board)
         h1, h2 = hash_key(words)
-        table = {1: self.flop, 2: self.turn}.get(int(street[0]) if hasattr(
-            street, "__getitem__") else int(street))
+        table = {1: self.flop, 2: self.turn, 3: self.river}.get(
+            int(street[0]) if hasattr(street, "__getitem__")
+            else int(street))
         if table is None:
             return 0.0
         got = np.asarray(lookup_device(table, h1, h2, default=-1))

@@ -123,6 +123,9 @@ def main():
                     help="override turn budget (0 = exhaustive)")
     ap.add_argument("--flop-budget", type=int, default=None,
                     help="override flop budget (0 = exhaustive)")
+    ap.add_argument("--river-budget", type=int, default=None,
+                    help="override river budget (0 = exhaustive: 123M "
+                         "isos — a multi-hour scan)")
     ap.add_argument("--k", type=int, default=256)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--flop-iters", type=int, default=None,
@@ -161,6 +164,18 @@ def main():
     turn_budget = args.budget if args.turn_budget is None else args.turn_budget
     flop_budget = ((args.budget // 2 if args.budget else 0)
                    if args.flop_budget is None else args.flop_budget)
+
+    if "river" in streets:
+        from robopoker_tpu.lloyd.pipeline import build_river
+
+        print("== river street ==", flush=True)
+        p5, b5 = canonical_sample(
+            5, args.budget if args.river_budget is None else args.river_budget
+        )
+        t0 = time.time()
+        river = build_river(p5, b5, chunk=max(args.chunk, 2048))
+        print(f"river tabulated in {time.time()-t0:.0f}s", flush=True)
+        save_street("river", river, p5, b5)
 
     if "turn" in streets:
         print("== turn street ==", flush=True)

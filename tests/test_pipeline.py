@@ -112,3 +112,45 @@ def test_build_points_device_pads_are_masked():
                                   (np.arange(96) < n).astype(np.float32))
     want = np.asarray(feat(jnp.asarray(pocket), jnp.asarray(board)))
     np.testing.assert_allclose(np.asarray(buf)[:n], want)
+
+
+def test_river_street_artifact_roundtrip(tmp_path):
+    """River artifact = exact-equity buckets (the reference's river table,
+    abstraction.rs:89-103): build a small one, reload it through
+    LookupBucket, and check street-3 queries return the exact equity
+    bucket in the (3<<8)|bucket tag range."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from robopoker_tpu.deuce.observation import equity_bucket, river_equity
+    from robopoker_tpu.lloyd.pipeline import build_river, sample_observations
+    from robopoker_tpu.nlhe.abstraction import LookupBucket
+
+    p5, b5 = sample_observations(None, 300, 5, rng_seed=11)
+    art = build_river(p5, b5, chunk=128)
+    assert art.street == 3
+    assert art.assignment.min() >= 0 and art.assignment.max() <= 100
+
+    np.savez(tmp_path / "river.npz", centroids=art.centroids,
+             metric=art.metric, assignment=art.assignment.astype(np.uint8),
+             **art.lookup.compact())
+    bucket = LookupBucket.load(tmp_path)
+    assert bucket.river is not None and bucket.turn is None
+
+    # query the training observations back through the provider
+    board = jnp.asarray(b5[:64].astype(np.int32))
+    hole = jnp.asarray(p5[:64].astype(np.int32))
+    st = jnp.full(64, 3, jnp.int32)
+    out = np.asarray(bucket(hole, board, st))
+    want = np.asarray(equity_bucket(river_equity(hole, board)))
+    assert ((out >> 8) == 3).all(), "every training point must hit the table"
+    np.testing.assert_array_equal(out & 0xFF, want)
+
+    # a miss (observation outside the artifact) falls back to the tagged
+    # proxy range
+    p2, b2 = sample_observations(None, 64, 5, rng_seed=999)
+    out2 = np.asarray(bucket(jnp.asarray(p2), jnp.asarray(b2),
+                             jnp.full(64, 3, jnp.int32)))
+    miss = (out2 >> 8) >= 4
+    hit = (out2 >> 8) == 3
+    assert (miss | hit).all()
