@@ -146,6 +146,35 @@ class LookupBucket:
             out = jnp.where((street == 3) & (cl < 0), base + (4 << 8), out)
         return out
 
+    def tree(self):
+        """Lookup arrays as a pytree, for threading through jit as
+        ARGUMENTS. A jitted trainer step that merely closes over the
+        tables embeds them as HLO constants — the exhaustive turn table
+        (33.5M slots, ~400 MB) blows the remote-compile request limit
+        (HTTP 413) and bloats every compile cache entry."""
+        out = {}
+        for name in ("flop", "turn", "river"):
+            t = getattr(self, name)
+            if t is not None:
+                out[name] = (t.key1, t.key2, t.value)
+        return out or None
+
+    def bind(self, tree):
+        """A shallow clone whose lookup tables use the given (possibly
+        traced) arrays; static probe metadata is kept."""
+        import dataclasses
+
+        b = LookupBucket.__new__(LookupBucket)
+        for name in ("flop", "turn", "river"):
+            t = getattr(self, name)
+            if t is not None and name in tree:
+                k1, k2, v = tree[name]
+                b.__dict__[name] = dataclasses.replace(
+                    t, key1=k1, key2=k2, value=v)
+            else:
+                b.__dict__[name] = t
+        return b
+
     def coverage(self, hole, board, street) -> float:
         """Fraction of observations resolved by a trained table."""
         from ..deuce.isomorphism import canonical_key, hash_key

@@ -179,13 +179,20 @@ def make_nlhe_step(
     C = config
     W = C.work_cap
 
+    # trace-time indirection: when the bucket provider carries lookup
+    # tables (LookupBucket.tree()), they are threaded through jit as
+    # ARGUMENTS via the wrapper below — a closure capture would embed
+    # them as HLO constants (exhaustive turn table = ~400 MB → remote
+    # compile rejects the program with HTTP 413)
+    _bound = [bucket_fn]
+
     def lookup(states):
         """Infoset identity for the ACTING player of each state."""
         idx = G.actor_idx(states)
         hole = jnp.take_along_axis(
             states.hole, idx[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
-        bucket = bucket_fn(hole.astype(jnp.int32),
+        bucket = _bound[0](hole.astype(jnp.int32),
                            states.board.astype(jnp.int32), states.street)
         legal = G.legal_cols(states, MENU)
         cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
@@ -696,7 +703,23 @@ def make_nlhe_step(
         return new_table, metrics
 
     # under shard_map the caller owns jit; single-chip gets jitted directly
-    return step if axis_name is not None else jax.jit(step)
+    if axis_name is not None:
+        return step
+    btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
+    if btree is None:
+        return jax.jit(step)
+
+    def step_with_tables(table, key, btree):
+        # rebind to the traced arrays for the duration of tracing; the
+        # compiled program then reads the tables from its arguments
+        _bound[0] = bucket_fn.bind(btree)
+        try:
+            return step(table, key)
+        finally:
+            _bound[0] = bucket_fn
+
+    jitted = jax.jit(step_with_tables)
+    return lambda table, key: jitted(table, key, btree)
 
 
 def make_parity_steps(bucket_fn, regret_schedule, weight_schedule, sampling,
