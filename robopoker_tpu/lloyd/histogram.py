@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..deuce.isomorphism import canonical_key, hash_key
+from ..deuce.isomorphism import canonical_key
 from ..deuce.observation import equity_bucket, river_equity
 from .lookup import IsoLookup, lookup_device
 
@@ -72,13 +72,18 @@ def child_cluster_histograms(pocket: jnp.ndarray, board: jnp.ndarray,
     """
     B = pocket.shape[0]
     seen = _seen_mask(pocket, board)
+    # hash with the version the lookup table was BUILT with — a mismatch
+    # would silently miss every key (uniform histograms)
+    from ..deuce.isomorphism import hash_for_version
+
+    hash_fn = hash_for_version(lookup.hash_version)
 
     def per_child(c, acc):
         childb = jnp.concatenate(
             [board.astype(jnp.int32), jnp.full((B, 1), c, jnp.int32)], axis=1
         )
         words = canonical_key(pocket, childb)
-        h1, h2 = hash_key(words)
+        h1, h2 = hash_fn(words)
         cl = lookup_device(lookup, h1, h2)
         live = ~seen[:, c]
         return acc.at[jnp.arange(B), jnp.clip(cl, 0, n_bins - 1)].add(

@@ -28,6 +28,10 @@ class IsoLookup:
     key2: np.ndarray   # i32 [T]
     value: np.ndarray  # i32 [T] (bucket id; -1 empty)
     probes: int = PROBES  # device probe depth covering the longest chain
+    # which deuce.isomorphism hash keyed this table (1 = legacy linear
+    # folds, 2 = per-word fmix chains); queries MUST hash with the same
+    # version or every lookup silently misses
+    hash_version: int = 1
 
     @property
     def capacity(self) -> int:
@@ -42,7 +46,7 @@ class IsoLookup:
         already-device tables."""
         return IsoLookup(
             jnp.asarray(self.key1), jnp.asarray(self.key2),
-            jnp.asarray(self.value), self.probes,
+            jnp.asarray(self.value), self.probes, self.hash_version,
         )
 
     def compact(self) -> dict:
@@ -55,6 +59,7 @@ class IsoLookup:
             "lookup_h1": np.asarray(self.key1)[occ],
             "lookup_h2": np.asarray(self.key2)[occ],
             "lookup_val": np.asarray(self.value)[occ].astype(np.int32),
+            "hash_version": np.int32(self.hash_version),
         }
 
 
@@ -68,7 +73,8 @@ def _chain_slots(h1, h2, depth, mask):
 
 
 def build_lookup(h1: np.ndarray, h2: np.ndarray, values: np.ndarray,
-                 load: float = 0.5, max_probes: int = 64) -> IsoLookup:
+                 load: float = 0.5, max_probes: int = 64,
+                 hash_version: int = 1) -> IsoLookup:
     """Host-side exact insert, vectorized.
 
     Claim rounds: every unplaced key proposes its depth-d candidate slot;
@@ -92,7 +98,8 @@ def build_lookup(h1: np.ndarray, h2: np.ndarray, values: np.ndarray,
     while len(pending):
         if depth >= max_probes:
             return build_lookup(h1, h2, values, load=load / 2,
-                                max_probes=max_probes)
+                                max_probes=max_probes,
+                                hash_version=hash_version)
         s = _chain_slots(h1[pending], h2[pending], depth, mask)
         mine = (val[s] >= 0) & (k1[s] == h1[pending]) & (k2[s] == h2[pending])
         free = np.flatnonzero(val[s] < 0)
@@ -112,7 +119,7 @@ def build_lookup(h1: np.ndarray, h2: np.ndarray, values: np.ndarray,
         pending = pending[~mine]
         depth += 1
     probes = max(1, max_depth + 1)
-    return IsoLookup(k1, k2, val, probes=probes)
+    return IsoLookup(k1, k2, val, probes=probes, hash_version=hash_version)
 
 
 def lookup_device(table: IsoLookup, h1: jnp.ndarray, h2: jnp.ndarray,
@@ -169,10 +176,12 @@ def load_lookup(z) -> IsoLookup | None:
     (lookup_h1/h2/val — rebuilt exactly via build_lookup) or the legacy
     dense-slab format (lookup_key1/key2/value, linear probing era —
     rebuilt too so the probing scheme matches the current code)."""
+    version = int(z["hash_version"]) if "hash_version" in z.files else 1
     if "lookup_h1" in z.files:
-        return build_lookup(z["lookup_h1"], z["lookup_h2"], z["lookup_val"])
+        return build_lookup(z["lookup_h1"], z["lookup_h2"], z["lookup_val"],
+                            hash_version=version)
     if "lookup_key1" in z.files:
         occ = z["lookup_value"] >= 0
         return build_lookup(z["lookup_key1"][occ], z["lookup_key2"][occ],
-                            z["lookup_value"][occ])
+                            z["lookup_value"][occ], hash_version=version)
     return None

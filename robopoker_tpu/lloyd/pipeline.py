@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..deuce.isomorphism import canonical_key, hash_key
+from ..deuce.isomorphism import HASH_VERSION, canonical_key, hash_key
 from ..pokerkit.hyperparams import KmeansHyperParams, SinkhornHyperParams
 from .histogram import child_cluster_histograms, turn_histograms
 from .kmeans import EmdSpec, KmeansResult, cluster
@@ -151,7 +151,8 @@ def cluster_turn(pocket: np.ndarray, board4: np.ndarray, k: int,
     res = cluster(points, k, EmdSpec("variation"), key, hp, chunk=chunk,
                   weights=valid)
     assignment = res.assignment[:n]
-    lookup = build_lookup(h1, h2, assignment.astype(np.int32))
+    lookup = build_lookup(h1, h2, assignment.astype(np.int32),
+                          hash_version=HASH_VERSION)
     c = jnp.asarray(res.centroids)
     metric = np.asarray(variation_distance(c[:, None, :], c[None, :, :]))
     return StreetArtifacts(2, res.centroids, lookup, metric, assignment)
@@ -179,7 +180,7 @@ def build_river(pocket: np.ndarray, board5: np.ndarray,
         if (i // chunk) % 128 == 0:
             print(f"  river equity {i}/{len(pocket)}", flush=True)
     buckets = np.concatenate(bks).astype(np.int32)
-    lookup = build_lookup(h1, h2, buckets)
+    lookup = build_lookup(h1, h2, buckets, hash_version=HASH_VERSION)
     # "centroids" for the river are the 101 one-hot equity bins; the
     # metric is the variation distance between bins = |i - j| / 100
     grid = np.abs(np.arange(101)[:, None] - np.arange(101)[None, :]) / 100.0
@@ -203,7 +204,8 @@ def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
     spec = EmdSpec("sinkhorn", cost=turn.metric, sinkhorn_hp=sinkhorn_hp)
     res = cluster(points, k, spec, key, hp, chunk=chunk, weights=valid)
     assignment = res.assignment[:n]
-    lookup = build_lookup(h1, h2, assignment.astype(np.int32))
+    lookup = build_lookup(h1, h2, assignment.astype(np.int32),
+                          hash_version=HASH_VERSION)
     c = jnp.asarray(res.centroids)
     cost = jnp.asarray(turn.metric, jnp.float32)
     kk = c.shape[0]

@@ -111,13 +111,25 @@ class LookupBucket:
         return cls(flop_lookup=one("flop"), turn_lookup=one("turn"),
                    river_lookup=one("river"))
 
+    def _hashes(self, words):
+        """Per-hash-version (h1, h2) pairs, computed once per distinct
+        version among the loaded tables (artifacts may mix a legacy v1
+        street with a freshly-built v2 one)."""
+        from ..deuce.isomorphism import hash_for_version
+
+        versions = {
+            t.hash_version for t in (self.flop, self.turn, self.river)
+            if t is not None
+        }
+        return {v: hash_for_version(v)(words) for v in versions}
+
     def __call__(self, hole, board, street):
-        from ..deuce.isomorphism import canonical_key, hash_key
+        from ..deuce.isomorphism import canonical_key
         from ..lloyd.lookup import lookup_device
 
         base = proxy_bucket(hole, board, street)
         words = canonical_key(hole, board)
-        h1, h2 = hash_key(words)
+        hashes = self._hashes(words)
         # lookup MISSES (classes outside a sampled artifact) fall back to
         # the proxy bucket — a partial artifact refines where it has data
         # and degrades to the proxy elsewhere, instead of collapsing every
@@ -126,24 +138,17 @@ class LookupBucket:
         # shifted into a disjoint tag range (street+4)<<8 so a proxy
         # index can never alias a trained cluster id on the same street.
         out = base
-        if self.flop is not None:
-            cl = lookup_device(self.flop, h1, h2, default=-1)
-            hit = (street == 1) & (cl >= 0)
-            out = jnp.where(hit, (1 << 8) | jnp.clip(cl, 0, 255), out)
-            out = jnp.where((street == 1) & (cl < 0), base + (4 << 8), out)
-        if self.turn is not None:
-            cl = lookup_device(self.turn, h1, h2, default=-1)
-            hit = (street == 2) & (cl >= 0)
-            out = jnp.where(hit, (2 << 8) | jnp.clip(cl, 0, 255), out)
-            out = jnp.where((street == 2) & (cl < 0), base + (4 << 8), out)
-        if self.river is not None:
-            # river buckets ARE the reference abstraction: exact equity
-            # quantized 0..=100 (abstraction.rs:89-103) — table values,
-            # not cluster ids
-            cl = lookup_device(self.river, h1, h2, default=-1)
-            hit = (street == 3) & (cl >= 0)
-            out = jnp.where(hit, (3 << 8) | jnp.clip(cl, 0, 255), out)
-            out = jnp.where((street == 3) & (cl < 0), base + (4 << 8), out)
+        for st, table in ((1, self.flop), (2, self.turn), (3, self.river)):
+            # river table values ARE the reference abstraction: exact
+            # equity quantized 0..=100 (abstraction.rs:89-103) — stored
+            # values, not cluster ids; the packed form is identical
+            if table is None:
+                continue
+            h1, h2 = hashes[table.hash_version]
+            cl = lookup_device(table, h1, h2, default=-1)
+            hit = (street == st) & (cl >= 0)
+            out = jnp.where(hit, (st << 8) | jnp.clip(cl, 0, 255), out)
+            out = jnp.where((street == st) & (cl < 0), base + (4 << 8), out)
         return out
 
     def tree(self):
@@ -177,17 +182,17 @@ class LookupBucket:
 
     def coverage(self, hole, board, street) -> float:
         """Fraction of observations resolved by a trained table."""
-        from ..deuce.isomorphism import canonical_key, hash_key
+        from ..deuce.isomorphism import canonical_key, hash_for_version
         from ..lloyd.lookup import lookup_device
 
         import numpy as np
 
         words = canonical_key(hole, board)
-        h1, h2 = hash_key(words)
         table = {1: self.flop, 2: self.turn, 3: self.river}.get(
             int(street[0]) if hasattr(street, "__getitem__")
             else int(street))
         if table is None:
             return 0.0
+        h1, h2 = hash_for_version(table.hash_version)(words)
         got = np.asarray(lookup_device(table, h1, h2, default=-1))
         return float((got >= 0).mean())

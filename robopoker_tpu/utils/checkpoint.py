@@ -120,11 +120,21 @@ def load_compact(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
         t = int(z["capacity"])
         rows = z["rows"]
 
+        # ONLY the sidecar columns may be absent (legacy checkpoints);
+        # a core array missing means the file is truncated/corrupt, and
+        # zero-filling it would silently serve an untrained uniform
+        # blueprint (ADVICE round-1)
+        optional = {"bucket", "choices"}
+
         def dense(name, cols, dtype):
             shape = (t, cols) if cols else (t,)
             a = np.zeros(shape, dtype)
-            if name in z.files:  # sidecars absent in legacy checkpoints
+            if name in z.files:
                 a[rows] = z[name]
+            elif name not in optional:
+                raise KeyError(
+                    f"compact checkpoint {path} is missing core array "
+                    f"'{name}' — truncated or corrupt")
             return jnp.asarray(a)
 
         from ..nlhe.table import N_COLS

@@ -27,12 +27,22 @@ from build_abstraction import canonical_sample  # noqa: E402  (same dir)
 def verify(name: str, z: dict, pocket: np.ndarray, board: np.ndarray) -> None:
     import jax.numpy as jnp
 
-    from robopoker_tpu.deuce.isomorphism import canonical_key, hash_key
-    from robopoker_tpu.lloyd.lookup import IsoLookup, lookup_device
+    from robopoker_tpu.deuce.isomorphism import canonical_key, hash_for_version
+    from robopoker_tpu.lloyd.lookup import load_lookup, lookup_device
 
-    lut = IsoLookup(z["lookup_key1"], z["lookup_key2"], z["lookup_value"])
+    class _Z:  # np.load-like view over the in-memory dict
+        files = list(z.keys())
+
+        def __getitem__(self, k):
+            return z[k]
+
+    # load_lookup rebuilds either artifact format (compact triplets or
+    # legacy dense slabs) with the CURRENT probing scheme — constructing
+    # IsoLookup straight from legacy slab arrays would leave pre-ladder
+    # residents unreachable (ADVICE round-1, medium)
+    lut = load_lookup(_Z())
     words = np.asarray(canonical_key(jnp.asarray(pocket), jnp.asarray(board)))
-    h1, h2 = hash_key(jnp.asarray(words))
+    h1, h2 = hash_for_version(lut.hash_version)(jnp.asarray(words))
     got = np.asarray(lookup_device(lut, jnp.asarray(h1), jnp.asarray(h2),
                                    default=-1))
     want = z["assignment"]

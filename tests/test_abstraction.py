@@ -254,3 +254,62 @@ def test_observation_i64_roundtrip():
             bits = pack_observation(pocket, board)
             p2, b2 = unpack_observation(bits)
             assert p2 == pocket and b2 == board
+
+
+def test_hash_v2_preflop_exhaustive_distinct():
+    # all 1,326 preflop deals collapse to exactly 169 canonical classes
+    # (ref: crates/deuce/src/street.rs:118-146) and hash_key_v2 keeps all
+    # 169 distinct (v1's linear folds are the round-1 collision bug)
+    from robopoker_tpu.deuce.isomorphism import hash_key_v2
+
+    import itertools
+
+    deals = np.array(list(itertools.combinations(range(52), 2)), np.int32)
+    board = np.full((len(deals), 0), -1, np.int32)
+    words = np.asarray(canonical_key(jnp.asarray(deals), jnp.asarray(board)))
+    keys = np.unique(words.view("i4,i4,i4,i4").ravel())
+    assert len(keys) == 169
+    uw = np.unique(words, axis=0)
+    h1, h2 = hash_key_v2(jnp.asarray(uw))
+    pairs = (np.asarray(h1).astype(np.int64) << 32) ^ (
+        np.asarray(h2).astype(np.int64) & 0xFFFFFFFF)
+    assert len(np.unique(pairs)) == 169
+
+
+def test_lookup_hash_version_roundtrip(tmp_path):
+    # compact() persists hash_version; load_lookup restores it and
+    # LookupBucket queries with the matching hash per table
+    from robopoker_tpu.deuce.isomorphism import HASH_VERSION, hash_key_v1
+    from robopoker_tpu.lloyd.lookup import load_lookup
+    from robopoker_tpu.nlhe.abstraction import LookupBucket
+
+    rng = np.random.default_rng(11)
+    deals = np.stack([rng.choice(52, 6, replace=False) for _ in range(400)])
+    pockets = deals[:, :2].astype(np.int32)
+    boards = deals[:, 2:].astype(np.int32)
+    words = canonical_key(jnp.asarray(pockets), jnp.asarray(boards))
+    wn = np.asarray(words)
+    _, idx = np.unique(wn.view("i4,i4,i4,i4").ravel(), return_index=True)
+    idx = np.sort(idx)
+    vals = (np.arange(len(idx)) % 256).astype(np.int32)
+
+    # one table per hash version over the same keys/values
+    h1v2, h2v2 = hash_key(words[idx])
+    t2 = build_lookup(np.asarray(h1v2), np.asarray(h2v2), vals,
+                      hash_version=HASH_VERSION)
+    h1v1, h2v1 = hash_key_v1(words[idx])
+    t1 = build_lookup(np.asarray(h1v1), np.asarray(h2v1), vals,
+                      hash_version=1)
+
+    np.savez(tmp_path / "t2.npz", **t2.compact())
+    with np.load(tmp_path / "t2.npz") as z:
+        r2 = load_lookup(z)
+    assert r2.hash_version == HASH_VERSION
+
+    # mixed-version bucket: turn keyed v2, flop keyed v1 — both must hit
+    bucket = LookupBucket(flop_lookup=t1, turn_lookup=r2)
+    street = jnp.full((len(idx),), 2, jnp.int32)
+    got = np.asarray(bucket(jnp.asarray(pockets[idx]),
+                            jnp.asarray(boards[idx]), street))
+    assert ((got >> 8) == 2).all()
+    assert ((got & 0xFF) == vals).all()
