@@ -14,6 +14,7 @@
 //
 // Build: make -C native   (produces librobopoker_native.so)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 
@@ -210,6 +211,114 @@ void rp_river_equity_batch(const int8_t* pockets, const int8_t* boards,
                            int64_t n, float* out) {
     for (int64_t i = 0; i < n; ++i)
         out[i] = rp_river_equity(pockets + i * 2, boards + i * 5);
+}
+
+// ---------------------------------------------------------------------------
+// plain k-subset enumeration (boards without pockets) — colex unranking of
+// C(52,k); feeds the board-factored river sweep below
+// ---------------------------------------------------------------------------
+
+int64_t rp_enumerate_subsets(int64_t start, int64_t count, int k,
+                             int8_t* out) {
+    init_binom();
+    const uint64_t total = BINOM[52][k];
+    int64_t written = 0;
+    for (int64_t o = start; o < start + count && (uint64_t)o < total; ++o) {
+        unrank_subset((uint64_t)o, k, out + written * k);
+        ++written;
+    }
+    return written;
+}
+
+// ---------------------------------------------------------------------------
+// Board-factored exact river equity (the exhaustive 123M-iso sweep kernel).
+//
+// The reference tabulates equity per isomorphism one observation at a time
+// (crates/lloyd/src/lookup.rs:177-193, ~990 opponent evals each). Factoring
+// by BOARD amortizes: one 1326-strength pass per board serves all C(47,2) =
+// 1081 pockets, with each pocket's (wins, ties) vs its 990 live opponents
+// recovered from order statistics —
+//   wins(p={a,b}) = |{q valid: s_q < s_p}| − |{q∋a: s_q < s_p}|
+//                                          − |{q∋b: s_q < s_p}|
+//   ties(p)       = T_all − T_a − T_b + 1      (each T counts p itself)
+// via one sorted array of the 1081 valid codes plus 52 per-card sorted
+// lists (≤46 entries each). ~1326 evals + O(n log n) counting per board
+// instead of 1081 × 990 pairwise evals: ~800× fewer evaluator calls.
+// ---------------------------------------------------------------------------
+
+void rp_river_board_equities(const int8_t* board, float* out_equity,
+                             uint8_t* out_valid) {
+    uint64_t seen = 0;
+    for (int i = 0; i < 5; ++i) seen |= 1ull << board[i];
+
+    int32_t code[1326];
+    uint8_t valid[1326];
+    int32_t sorted_all[1326];
+    int n_valid = 0;
+
+    int8_t seven[7];
+    memcpy(seven + 2, board, 5);
+    int idx = 0;
+    for (int a = 0; a < 52; ++a) {
+        for (int b = a + 1; b < 52; ++b, ++idx) {
+            if ((seen >> a & 1) | (seen >> b & 1)) {
+                valid[idx] = 0;
+                code[idx] = 0;
+                continue;
+            }
+            seven[0] = (int8_t)a;
+            seven[1] = (int8_t)b;
+            code[idx] = rp_strength(seven, 7);
+            valid[idx] = 1;
+            sorted_all[n_valid++] = code[idx];
+        }
+    }
+    std::sort(sorted_all, sorted_all + n_valid);
+
+    // per-card sorted code lists over valid pockets containing that card
+    int32_t by_card[52][51];
+    int n_by_card[52] = {0};
+    idx = 0;
+    for (int a = 0; a < 52; ++a) {
+        for (int b = a + 1; b < 52; ++b, ++idx) {
+            if (!valid[idx]) continue;
+            by_card[a][n_by_card[a]++] = code[idx];
+            by_card[b][n_by_card[b]++] = code[idx];
+        }
+    }
+    for (int c = 0; c < 52; ++c)
+        std::sort(by_card[c], by_card[c] + n_by_card[c]);
+
+    auto count_lt_eq = [](const int32_t* arr, int n, int32_t v,
+                          int* lt, int* eq) {
+        const int32_t* lo = std::lower_bound(arr, arr + n, v);
+        const int32_t* hi = std::upper_bound(lo, arr + n, v);
+        *lt = (int)(lo - arr);
+        *eq = (int)(hi - lo);
+    };
+
+    idx = 0;
+    for (int a = 0; a < 52; ++a) {
+        for (int b = a + 1; b < 52; ++b, ++idx) {
+            out_valid[idx] = valid[idx];
+            if (!valid[idx]) { out_equity[idx] = 0.0f; continue; }
+            int32_t v = code[idx];
+            int lt_all, eq_all, lt_a, eq_a, lt_b, eq_b;
+            count_lt_eq(sorted_all, n_valid, v, &lt_all, &eq_all);
+            count_lt_eq(by_card[a], n_by_card[a], v, &lt_a, &eq_a);
+            count_lt_eq(by_card[b], n_by_card[b], v, &lt_b, &eq_b);
+            int wins = lt_all - lt_a - lt_b;
+            int ties = eq_all - eq_a - eq_b + 1;
+            out_equity[idx] = (wins + 0.5f * ties) / 990.0f;
+        }
+    }
+}
+
+void rp_river_board_equities_batch(const int8_t* boards, int64_t n_boards,
+                                   float* out_equity, uint8_t* out_valid) {
+    for (int64_t i = 0; i < n_boards; ++i)
+        rp_river_board_equities(boards + i * 5, out_equity + i * 1326,
+                                out_valid + i * 1326);
 }
 
 }  // extern "C"

@@ -141,7 +141,8 @@ def _build_points_device(feat_fn, pocket: np.ndarray, board: np.ndarray,
 
 def cluster_turn(pocket: np.ndarray, board4: np.ndarray, k: int,
                  key, chunk: int = 2048,
-                 hp: KmeansHyperParams = KmeansHyperParams()) -> StreetArtifacts:
+                 hp: KmeansHyperParams = KmeansHyperParams(),
+                 checkpoint_dir=None) -> StreetArtifacts:
     """Turn street: equity histograms + variation-EMD k-means
     (configs: K=256, 32 iters; ref: pokerkit/src/lib.rs:185-191)."""
     pocket, board4, h1, h2 = dedupe_canonical(pocket, board4)
@@ -149,7 +150,7 @@ def cluster_turn(pocket: np.ndarray, board4: np.ndarray, k: int,
         turn_histograms, pocket, board4, chunk, 101, "turn histograms"
     )
     res = cluster(points, k, EmdSpec("variation"), key, hp, chunk=chunk,
-                  weights=valid)
+                  weights=valid, checkpoint_dir=checkpoint_dir)
     assignment = res.assignment[:n]
     lookup = build_lookup(h1, h2, assignment.astype(np.int32),
                           hash_version=HASH_VERSION)
@@ -191,7 +192,8 @@ def build_river(pocket: np.ndarray, board5: np.ndarray,
 def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
                  k: int, key, chunk: int = 1024,
                  hp: KmeansHyperParams = KmeansHyperParams(),
-                 sinkhorn_hp: SinkhornHyperParams = SinkhornHyperParams()) -> StreetArtifacts:
+                 sinkhorn_hp: SinkhornHyperParams = SinkhornHyperParams(),
+                 checkpoint_dir=None, prune_m: int = 0) -> StreetArtifacts:
     """Flop street: turn-cluster histograms + Sinkhorn k-means over the
     turn centroid metric (ref: layer.rs build() + metric dispatch)."""
     pocket, board3, h1, h2 = dedupe_canonical(pocket, board3)
@@ -201,8 +203,10 @@ def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,
         lambda p, b: child_cluster_histograms(p, b, turn_lk, kt),
         pocket, board3, chunk, kt, "flop histograms",
     )
-    spec = EmdSpec("sinkhorn", cost=turn.metric, sinkhorn_hp=sinkhorn_hp)
-    res = cluster(points, k, spec, key, hp, chunk=chunk, weights=valid)
+    spec = EmdSpec("sinkhorn", cost=turn.metric, sinkhorn_hp=sinkhorn_hp,
+                   prune_m=prune_m)
+    res = cluster(points, k, spec, key, hp, chunk=chunk, weights=valid,
+                  checkpoint_dir=checkpoint_dir)
     assignment = res.assignment[:n]
     lookup = build_lookup(h1, h2, assignment.astype(np.int32),
                           hash_version=HASH_VERSION)

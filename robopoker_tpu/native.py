@@ -41,6 +41,16 @@ def _load():
         ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "rp_enumerate_subsets"):
+        lib.rp_enumerate_subsets.restype = ctypes.c_int64
+        lib.rp_enumerate_subsets.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int8),
+        ]
+        lib.rp_river_board_equities_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
     _LIB = lib
     return lib
 
@@ -116,6 +126,39 @@ def strength_batch(cards: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+def enumerate_subsets(start: int, count: int, k: int) -> np.ndarray:
+    """[count, k] all C(52, k) card subsets for index range
+    [start, start+count) in colex order (plain boards, no pockets)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rp_enumerate_subsets"):
+        raise RuntimeError("native library not built: make -C native")
+    out = np.empty((count, k), np.int8)
+    written = lib.rp_enumerate_subsets(
+        start, count, k, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    return out[:written]
+
+
+def river_board_equities(boards: np.ndarray):
+    """Board-factored exact river equity: [C, 5] boards → equity [C, 1326]
+    (per ALL_POCKETS order) + valid mask [C, 1326]. One 1326-strength pass
+    per board serves all 1081 live pockets via order-statistics counting
+    (see native/robopoker_native.cpp rp_river_board_equities) — the
+    exhaustive 123M-iso river sweep kernel."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rp_river_board_equities_batch"):
+        raise RuntimeError("native library not built: make -C native")
+    boards = np.ascontiguousarray(boards, np.int8)
+    n = boards.shape[0]
+    eq = np.empty((n, 1326), np.float32)
+    valid = np.empty((n, 1326), np.uint8)
+    lib.rp_river_board_equities_batch(
+        boards.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), n,
+        eq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return eq, valid
 
 
 def river_equity_batch(pockets: np.ndarray, boards: np.ndarray) -> np.ndarray:

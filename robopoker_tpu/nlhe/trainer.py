@@ -702,16 +702,34 @@ def make_nlhe_step(
             }
         return new_table, metrics
 
-    # under shard_map the caller owns jit; single-chip gets jitted directly
-    if axis_name is not None:
-        return step
     btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
+
+    # under shard_map the caller owns jit; single-chip gets jitted directly.
+    # Either way lookup tables must thread through as ARGUMENTS: a step
+    # that closes over them embeds them as HLO constants, and the
+    # exhaustive turn table (~400 MB) made the remote compile service
+    # reject the program with HTTP 413 (CLAUDE.md round-1). The shard_map
+    # path used to skip the wrapper — the exact trap, VERDICT item 4.
+    if axis_name is not None:
+        if btree is None:
+            return step
+
+        def step_rebound(table, key, btree_arg):
+            # rebind to the traced arrays for the duration of tracing; the
+            # compiled program then reads the tables from its arguments
+            _bound[0] = bucket_fn.bind(btree_arg)
+            try:
+                return step(table, key)
+            finally:
+                _bound[0] = bucket_fn
+
+        step_rebound.btree = btree       # caller ships this as an operand
+        step_rebound.takes_tables = True
+        return step_rebound
     if btree is None:
         return jax.jit(step)
 
     def step_with_tables(table, key, btree):
-        # rebind to the traced arrays for the duration of tracing; the
-        # compiled program then reads the tables from its arguments
         _bound[0] = bucket_fn.bind(btree)
         try:
             return step(table, key)

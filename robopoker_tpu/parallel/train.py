@@ -59,6 +59,27 @@ def make_sharded_nlhe_step(
         config=config, axis_name=axis, **kwargs,
     )
 
+    if getattr(inner, "takes_tables", False):
+        # lookup-bucket artifacts thread through shard_map as replicated
+        # operands — closing over them would embed the (up to GBs of)
+        # tables as HLO constants and blow up the remote compile (the
+        # single-chip path learned this as HTTP 413; VERDICT round-1 #4)
+        btree = inner.btree
+
+        def shard_body_t(table: InfoTable, key: jnp.ndarray, bt):
+            me = jax.lax.axis_index(axis)
+            return inner(table, jax.random.fold_in(key, me), bt)
+
+        sharded = jax.shard_map(
+            shard_body_t,
+            mesh=mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        jitted = jax.jit(sharded)
+        return lambda table, key: jitted(table, key, btree)
+
     def shard_body(table: InfoTable, key: jnp.ndarray):
         # decorrelate per-device rollouts (same table, different trees)
         me = jax.lax.axis_index(axis)

@@ -132,6 +132,9 @@ def main():
                     help="override flop k-means iterations (Sinkhorn "
                          "assignment dominates the exhaustive sweep)")
     ap.add_argument("--chunk", type=int, default=2048)
+    ap.add_argument("--prune-m", type=int, default=0,
+                    help="flop assignment shortlist width (0 = exact "
+                         "full-K Sinkhorn; 16 cuts iteration time ~K/M)")
     ap.add_argument("--out", default="artifacts/abstraction")
     ap.add_argument("--streets", default="turn,flop",
                     help="comma list; 'flop' alone reuses <out>/turn.npz")
@@ -181,7 +184,8 @@ def main():
         print("== turn street ==", flush=True)
         p4, b4 = canonical_sample(4, turn_budget)
         t0 = time.time()
-        turn = cluster_turn(p4, b4, k=args.k, key=key, chunk=args.chunk, hp=hp)
+        turn = cluster_turn(p4, b4, k=args.k, key=key, chunk=args.chunk, hp=hp,
+                            checkpoint_dir=out / "ckpt_turn")
         print(f"turn clustered in {time.time()-t0:.0f}s", flush=True)
         save_street("turn", turn, p4, b4)
     else:
@@ -204,7 +208,9 @@ def main():
     fhp = (hp if args.flop_iters is None
            else KmeansHyperParams(iterations=args.flop_iters))
     flop = cluster_flop(p3, b3, turn, k=args.k, key=key,
-                        chunk=max(args.chunk // 4, 256), hp=fhp)
+                        chunk=max(args.chunk // 4, 256), hp=fhp,
+                        checkpoint_dir=out / "ckpt_flop",
+                        prune_m=args.prune_m)
     print(f"flop clustered in {time.time()-t0:.0f}s", flush=True)
     save_street("flop", flop, p3, b3)
     print(f"artifacts → {out}", flush=True)
