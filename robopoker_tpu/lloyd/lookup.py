@@ -52,13 +52,22 @@ class IsoLookup:
     def compact(self) -> dict:
         """Occupied-slot triplets for artifact files — an exhaustive
         street's table is mostly structure (load 0.5), so persisting
-        (h1, h2, value) of residents halves the file and lets the load
-        path rebuild the exact table with ``build_lookup``."""
+        (h1, h2, value) of residents halves the file.
+
+        ``lookup_slot`` persists each resident's placement so the load
+        path reconstructs the table with three scatter fills instead of
+        re-running the claim rounds — ``build_lookup`` over the river
+        street's 123M keys takes ~13 min of host CPU, which made every
+        artifact load unusable. ``lookup_probes`` keeps the device query
+        depth that covers the longest chain."""
         occ = np.flatnonzero(np.asarray(self.value) >= 0)
         return {
             "lookup_h1": np.asarray(self.key1)[occ],
             "lookup_h2": np.asarray(self.key2)[occ],
             "lookup_val": np.asarray(self.value)[occ].astype(np.int32),
+            "lookup_slot": occ.astype(np.int64),
+            "lookup_capacity": np.int64(self.capacity),
+            "lookup_probes": np.int32(self.probes),
             "hash_version": np.int32(self.hash_version),
         }
 
@@ -177,6 +186,19 @@ def load_lookup(z) -> IsoLookup | None:
     dense-slab format (lookup_key1/key2/value, linear probing era —
     rebuilt too so the probing scheme matches the current code)."""
     version = int(z["hash_version"]) if "hash_version" in z.files else 1
+    if "lookup_slot" in z.files:
+        # stored placement: reconstruct by direct scatter fill (no claim
+        # rounds — the 123M-key river rebuild took ~13 min of host CPU)
+        cap = int(z["lookup_capacity"])
+        slots = z["lookup_slot"]
+        k1 = np.zeros(cap, np.int32)
+        k2 = np.zeros(cap, np.int32)
+        val = np.full(cap, -1, np.int32)
+        k1[slots] = z["lookup_h1"]
+        k2[slots] = z["lookup_h2"]
+        val[slots] = z["lookup_val"].astype(np.int32)
+        return IsoLookup(k1, k2, val, probes=int(z["lookup_probes"]),
+                         hash_version=version)
     if "lookup_h1" in z.files:
         return build_lookup(z["lookup_h1"], z["lookup_h2"], z["lookup_val"],
                             hash_version=version)

@@ -85,10 +85,17 @@ class CaseResult:
 
 
 def _witness(hand_cards: str, history: list, hero_seat: int) -> Witness:
+    events = []
+    for e in history:
+        kind, payload = e[0], e[1]
+        if kind == "deal" and isinstance(payload, str):
+            # scenario files spell boards as card strings ("Kh 7d 2c")
+            payload = [int(c) for c in parse_cards(payload)]
+        events.append((kind, payload))
     return Witness(
         hero_seat=hero_seat,
         hero_hole=parse_cards(hand_cards).astype(np.int64),
-        events=[tuple(e) for e in history],
+        events=events,
     )
 
 

@@ -47,7 +47,7 @@ from ..kicker import edges as E
 from ..kicker import game as G
 from ..mccfr.engine import averaged
 from ..nlhe.table import (InfoTable, N_COLS, init_table, make_key,
-                          probe_rows, slot_of)
+                          probe_rows)
 from ..nlhe.trainer import exploration_rows, regret_matching_rows, _scat, _scat_state
 from ..pokerkit.constants import EPSILON, N_WORLDS
 from ..pokerkit.hyperparams import (
@@ -68,7 +68,9 @@ class ResolveConfig:
     # L×L frontier pick game (adapt_full; ref: subgame/src/depth/*):
     # False = blueprint-EV leaves (adapt_leaf)
     frontier_picks: bool = False
-    frontier_rollouts: int = 4     # MC rollouts per payoff cell (ref: 16)
+    # MC rollouts per payoff cell — matches the reference's ROLLOUTS
+    # (ref: crates/subgame/src/depth/hyperparams.rs:29-43)
+    frontier_rollouts: int = 16
     frontier_roll_steps: int = 14  # biased-rollout depth to hand end
     frontier_bias: float = 5.0     # bias multiplier (ref: hyperparams.rs)
     n_picks: int = 4               # FRONTIER_LEAVES continuation styles
@@ -113,17 +115,23 @@ def make_resolve_step(
         return klo, khi, wlo, legal
 
     def read_rows(local: InfoTable, blueprint: InfoTable, states, world, t_bp):
-        """Read-through cumulative regret/weight with warmstart transform."""
+        """Read-through cumulative regret/weight with warmstart transform.
+
+        The local row resolves through the exact probe ladder over the
+        local table's stored key words (claimed on write below) — the
+        round-1 single-shot ``slot_of`` silently shared regret between
+        distinct subgame infosets that collided in the 2^14 table
+        (VERDICT round-1 weak #4)."""
         klo, khi, wlo, legal = lookup(states, world)
         bp_row, _ = probe_rows(blueprint.key_lo, blueprint.key_hi, klo, khi)
-        lc_row = slot_of(wlo, khi, local.capacity)
+        lc_row, _ = probe_rows(local.key_lo, local.key_hi, wlo, khi)
         seeded = local.visits[lc_row] > 0
         bp_sigma = averaged(blueprint.weight[bp_row], legal)
         warm_w = bp_sigma * (K * (K + 1.0) / 2.0)
         warm_r = blueprint.regret[bp_row] * (K / jnp.maximum(t_bp, 1.0))
         regret = jnp.where(seeded[:, None], local.regret[lc_row], warm_r)
         weight = jnp.where(seeded[:, None], local.weight[lc_row], warm_w)
-        return regret, weight, legal, lc_row, bp_row
+        return regret, weight, legal, lc_row, bp_row, wlo, khi
 
     def frontier_value(blueprint: InfoTable, last_row, last_actor, walker,
                        last_legal):
@@ -179,13 +187,15 @@ def make_resolve_step(
             pnl, jnp.broadcast_to(internal_seat, (n,))[:, None], axis=1
         )[:, 0]
 
-    def pick_rows(states, world, phase):
+    def pick_rows(states, local, world, phase):
         """Local-table rows for pick infosets: frontier identity + phase
         marker (1 = internal pick, 2 = external pick), world-mixed like
-        every other subgame infoset (WorldInfo over DepthInfo)."""
+        every other subgame infoset (WorldInfo over DepthInfo). Exact
+        probe ladder, like every other local read."""
         klo, khi, wlo, _ = lookup(states, world)
         plo = wlo ^ (jnp.int32(0x51C3) * jnp.int32(phase + 1))
-        return slot_of(plo, khi, 1 << C.table_log2)
+        row, _ = probe_rows(local.key_lo, local.key_hi, plo, khi)
+        return row, plo, khi
 
     def frontier_picks_value(states, frontier, world, reach_here, walker,
                              local, blueprint, hero_seat, key, acc):
@@ -197,13 +207,14 @@ def make_resolve_step(
         """
         n = states.pot.shape[0]
         T = 1 << C.table_log2
-        r_int = pick_rows(states, world, 1)
-        r_ext = pick_rows(states, world, 2)
+        r_int, plo_int, khi_p = pick_rows(states, local, world, 1)
+        r_ext, plo_ext, _ = pick_rows(states, local, world, 2)
         walker_is_int = walker == hero_seat
 
         # opponent's pick: sampled from its exploration distribution
         opp_row = jnp.where(walker_is_int, r_ext, r_int)
         own_row = jnp.where(walker_is_int, r_int, r_ext)
+        own_plo = jnp.where(walker_is_int, plo_int, plo_ext)
         q_opp = exploration_rows(local.weight[opp_row], PICK_LEGAL[None, :],
                                  sampling_hp)
         pi_opp = regret_matching_rows(local.regret[opp_row], PICK_LEGAL[None, :])
@@ -244,8 +255,9 @@ def make_resolve_step(
         pi_own = regret_matching_rows(local.regret[own_row], PICK_LEGAL[None, :])
         v = (pi_own * vals).sum(-1)
 
-        # deltas for the walker's pick infoset
-        rd, tc, oc, ct = acc
+        # deltas for the walker's pick infoset (+ its key words so the
+        # write path can claim the rows for exact probing)
+        rd, tc, oc, ct, kl, kh = acc
         rows = jnp.where(frontier, own_row, T)
         contrib = jnp.where(
             frontier[:, None] & PICK_LEGAL[None, :],
@@ -255,7 +267,19 @@ def make_resolve_step(
         tc = tc.at[rows].max(frontier[:, None] & PICK_LEGAL[None, :])
         oc = oc.at[rows].max(frontier)
         ct = ct.at[rows].add(frontier.astype(jnp.int32))
-        return v, (rd, tc, oc, ct)
+        # atomic pairing: winner by max lane id, then gather BOTH words
+        # from it; merge into the accumulator by lexicographic pair max
+        # (associative across calls, never mixes words of two keys)
+        imin = jnp.iinfo(jnp.int32).min
+        wid = jnp.full(T + 1, -1, jnp.int32).at[rows].max(
+            jnp.where(frontier, jnp.arange(n, dtype=jnp.int32), -1))
+        safe = jnp.maximum(wid, 0)
+        kl_new = jnp.where(wid >= 0, own_plo[safe], imin)
+        kh_new = jnp.where(wid >= 0, khi_p[safe], imin)
+        take = (kl_new > kl) | ((kl_new == kl) & (kh_new > kh))
+        kl = jnp.where(take, kl_new, kl)
+        kh = jnp.where(take, kh_new, kh)
+        return v, (rd, tc, oc, ct, kl, kh)
 
     def roll(states, local, blueprint, world, walker, t_bp, key,
              init_last=None):
@@ -272,7 +296,7 @@ def make_resolve_step(
             states, ratio, last_row, last_actor, last_legal = carry
             t = G.turn_of(states)
             is_opp = (t <= 1) & (t != walker)
-            regret, weight, legal, lc_row, bp_row = read_rows(
+            regret, weight, legal, lc_row, bp_row, _, _ = read_rows(
                 local, blueprint, states, world, t_bp
             )
             q = exploration_rows(weight, legal, sampling_hp)
@@ -347,6 +371,8 @@ def make_resolve_step(
         is_term = jnp.zeros((B, CAP), bool)
         term_value = jnp.zeros((B, CAP), jnp.float32)
         lrow_of = jnp.zeros((B, CAP), jnp.int32)
+        klo_of = jnp.zeros((B, CAP), jnp.int32)   # local key words per slot
+        khi_of = jnp.zeros((B, CAP), jnp.int32)   # (claimed on write)
         legal_of = jnp.zeros((B, CAP, N_COLS), bool)
         branch_of = jnp.zeros((B, CAP, N_COLS), bool)
         regret_of = jnp.zeros((B, CAP, N_COLS), jnp.float32)
@@ -354,13 +380,18 @@ def make_resolve_step(
         valid = jnp.zeros((B, CAP), bool)
         n_slots = jnp.zeros(B, jnp.int32)
 
-        # pick-infoset delta accumulators (L×L frontier game; row T = spill)
+        # pick-infoset delta accumulators (L×L frontier game; row T = spill);
+        # the last two collect the pick rows' key words for claiming
+        # (INT32_MIN = no writer, resolved by max-scatter)
         T_local = 1 << C.table_log2
+        imin = jnp.iinfo(jnp.int32).min
         acc = (
             jnp.zeros((T_local + 1, N_COLS), jnp.float32),
             jnp.zeros((T_local + 1, N_COLS), bool),
             jnp.zeros(T_local + 1, bool),
             jnp.zeros(T_local + 1, jnp.int32),
+            jnp.full(T_local + 1, imin, jnp.int32),
+            jnp.full(T_local + 1, imin, jnp.int32),
         )
 
         def terminalize(states, ratio, frontier, fval, walker, reach_here,
@@ -411,11 +442,11 @@ def make_resolve_step(
 
         def level_body(lvl, lcarry):
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-             valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
-             level_states, level_valid, level_slot, acc) = lcarry
+             valid, lrow_of, klo_of, khi_of, legal_of, branch_of, regret_of,
+             n_slots, level_states, level_valid, level_slot, acc) = lcarry
             lkey = jax.random.fold_in(ekey, 100 + lvl)
             wflat = level_world.reshape(N)
-            regret, weight, legal, lc_row, bp_row = read_rows(
+            regret, weight, legal, lc_row, bp_row, wlo, khi_w = read_rows(
                 local, blueprint, level_states, wflat, t_bp
             )
             legal2 = legal.reshape(B, LC, N_COLS)
@@ -431,6 +462,8 @@ def make_resolve_step(
             sl = jnp.where(level_valid, level_slot, CAP)
             ok3 = ok.reshape(B, LC, N_COLS)
             lrow_of = _scat(lrow_of, sl, lc_row.reshape(B, LC))
+            klo_of = _scat(klo_of, sl, wlo.reshape(B, LC))
+            khi_of = _scat(khi_of, sl, khi_w.reshape(B, LC))
             legal_of = _scat(legal_of, sl, legal2)
             branch_of = _scat(branch_of, sl, ok3)
             regret_of = _scat(regret_of, sl, regret.reshape(B, LC, N_COLS))
@@ -508,25 +541,27 @@ def make_resolve_step(
             level_valid = next_valid & ~term
             level_slot = next_slot
             return (parent, pcol, ratio_in, reach, is_term, term_value,
-                    level_of, valid, lrow_of, legal_of, branch_of, regret_of,
-                    n_slots, level_states, level_valid, level_slot, acc)
+                    level_of, valid, lrow_of, klo_of, khi_of, legal_of,
+                    branch_of, regret_of, n_slots, level_states, level_valid,
+                    level_slot, acc)
 
         def level_cond(carry):
             lvl, lcarry = carry
-            return (lvl < C.max_levels) & lcarry[14].any()
+            return (lvl < C.max_levels) & lcarry[16].any()
 
         def level_wbody(carry):
             lvl, lcarry = carry
             return lvl + 1, level_body(lvl, lcarry)
 
         _, (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-            valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
-            level_states, level_valid, level_slot, acc) = jax.lax.while_loop(
+            valid, lrow_of, klo_of, khi_of, legal_of, branch_of, regret_of,
+            n_slots, level_states, level_valid, level_slot,
+            acc) = jax.lax.while_loop(
             level_cond, level_wbody,
             (jnp.int32(0),
              (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
-              valid, lrow_of, legal_of, branch_of, regret_of, n_slots,
-              level_states, level_valid, level_slot, acc)),
+              valid, lrow_of, klo_of, khi_of, legal_of, branch_of, regret_of,
+              n_slots, level_states, level_valid, level_slot, acc)),
         )
 
         # surviving deep lines: treat as frontier via their stored regrets
@@ -577,14 +612,32 @@ def make_resolve_step(
         counts = jnp.zeros(T + 1, jnp.int32).at[rows_flat].add(
             upd.reshape(-1).astype(jnp.int32))[:T]
 
+        # key words of this epoch's writers. The winner is picked by
+        # max writer-id, then BOTH words gather from that one writer —
+        # independent per-word max-scatters could pair lo and hi from
+        # different keys into a phantom claim that matches neither
+        imin32 = jnp.iinfo(jnp.int32).min
+        flat_ids = jnp.arange(B * CAP, dtype=jnp.int32)
+        wid = jnp.full(T + 1, -1, jnp.int32).at[rows_flat].max(
+            jnp.where(upd.reshape(-1), flat_ids, -1))[:T]
+        safe = jnp.maximum(wid, 0)
+        klo_tab = jnp.where(wid >= 0, klo_of.reshape(-1)[safe], imin32)
+        khi_tab = jnp.where(wid >= 0, khi_of.reshape(-1)[safe], imin32)
+
         # merge the L×L pick-infoset deltas (no blueprint warmstart there)
         if C.frontier_picks:
-            rd_p, tc_p, oc_p, ct_p = acc
+            rd_p, tc_p, oc_p, ct_p, kl_p, kh_p = acc
             rdelta = rdelta + rd_p[:T]
             touched = touched | tc_p[:T]
             occ = occ | oc_p[:T]
             legal_tab = legal_tab | (oc_p[:T][:, None] & PICK_LEGAL[None, :])
             counts = counts + ct_p[:T]
+            # lexicographic PAIR max — keeps (lo, hi) atomic when a row
+            # was written by both the main pass and the pick game
+            take_p = (kl_p[:T] > klo_tab) | (
+                (kl_p[:T] == klo_tab) & (kh_p[:T] > khi_tab))
+            klo_tab = jnp.where(take_p, kl_p[:T], klo_tab)
+            khi_tab = jnp.where(take_p, kh_p[:T], khi_tab)
         # cumulative base for unseeded rows = warmstart values
         warm_r = jnp.zeros((T + 1, N_COLS), jnp.float32).at[rows_flat].max(
             jnp.where(upd[:, :, None], regret_of, -jnp.inf).reshape(-1, N_COLS)
@@ -610,9 +663,20 @@ def make_resolve_step(
             local.payoff,
         )
         visits = local.visits + jnp.where(occ, counts, 0)
+
+        # claim key words: empty slots or matching residents only — a
+        # fallback writer sharing the ladder tail must never evict the
+        # resident's key (mirrors the blueprint trainer's claim guard)
+        cur_lo, cur_hi = local.key_lo, local.key_hi
+        claimable = ((cur_lo == 0) & (cur_hi == 0)) | (
+            (cur_lo == klo_tab) & (cur_hi == khi_tab)
+        )
+        wr = occ & claimable & (klo_tab != imin32)
+        key_lo = jnp.where(wr, klo_tab, cur_lo)
+        key_hi = jnp.where(wr, khi_tab, cur_hi)
         return InfoTable(
             regret=regret, weight=weight, payoff=payoff, visits=visits,
-            key_lo=local.key_lo, key_hi=local.key_hi,
+            key_lo=key_lo, key_hi=key_hi,
             bucket=local.bucket, choices=local.choices, epoch=t + 1,
         )
 
@@ -656,8 +720,9 @@ def harvest_blend(local: InfoTable, blueprint: InfoTable, head: G.TableState,
     w_sum = np.zeros(N_COLS, np.float32)
     v_sum = np.zeros(N_COLS, np.float32)
     for w in range(n_worlds):
-        wlo = np.asarray(klo ^ (jnp.int32(w) * jnp.int32(0x9E3779B)))[0]
-        row = int((wlo ^ int(np.asarray(khi)[0])) & (local.capacity - 1))
+        wlo = klo ^ (jnp.int32(w) * jnp.int32(0x9E3779B))
+        row = int(np.asarray(
+            probe_rows(local.key_lo, local.key_hi, wlo, khi)[0])[0])
         w_sum += np.asarray(local.weight[row])
         v_sum += float(np.asarray(local.visits[row])) * np.ones(N_COLS)
 

@@ -16,6 +16,12 @@ import time
 
 _FLAG = threading.Event()
 _DEADLINE: float | None = None
+# anchor for TRAIN_DURATION at import (≈ process start). install() used
+# to anchor at its own call site, which in a training entry point sits
+# AFTER artifact loading and the first remote-TPU compile — the round-1
+# production run's deadline fired ~5 min late at 3000 s because those
+# minutes never counted (VERDICT round-1 weak #9)
+_T0 = time.monotonic()
 
 
 def interrupted() -> bool:
@@ -32,7 +38,12 @@ def _handler(signum, frame):
 
 
 def install(train_duration_s: float | None = None) -> None:
-    """Install handlers; honors TRAIN_DURATION (seconds) from env."""
+    """Install handlers; honors TRAIN_DURATION (seconds) from env.
+
+    The duration counts from process start (module import), not from
+    this call — callers invoke install() after setup work that can take
+    minutes, and the external supervisor measures wall-clock from launch.
+    """
     global _DEADLINE
     signal.signal(signal.SIGTERM, _handler)
     signal.signal(signal.SIGINT, _handler)
@@ -40,7 +51,7 @@ def install(train_duration_s: float | None = None) -> None:
     if dur is None and os.environ.get("TRAIN_DURATION"):
         dur = float(os.environ["TRAIN_DURATION"])
     if dur is not None:
-        _DEADLINE = time.monotonic() + dur
+        _DEADLINE = _T0 + dur
 
 
 def reset() -> None:
