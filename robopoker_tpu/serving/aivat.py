@@ -6,15 +6,22 @@ TPU-native counterpart of the reference's ``arena`` crate
 observed chips so the skill signal emerges from far fewer hands
 ("reduce variance by 10-44x", ref: crates/arena/src/lib.rs:4-5).
 
-Correction terms per hand (ref: correction.rs:4-29):
+Correction terms per hand (ref: correction.rs:4-29, aivat.rs:94-145):
 
-- hero action nodes:    E_{a~σ}[v̂(s,a)] − v̂(s, a_taken)
-- villain action nodes: the same, negated (villain's choice variance)
-- chance nodes:         mean_c v̂(deal c) − v̂(dealt card)   (turn+river)
+- hero action nodes:    Σ_a σ(a)·v̂(s,a) − v̂(s, a_taken)
+- villain action nodes: the same from the villain's infoset, negated
+- chance nodes (turn + river deals): mean_c B(deal c) − B(dealt card),
+  signed for whoever acts next, where B is the next actor's blueprint
+  baseline Σ_a σ(a)·v̂(a). Flop deals are skipped like the reference
+  (C(48,3) = 17,296 candidate deals; aivat.rs:151-153).
 
-with v̂ the blueprint's accumulated infoset EV (payoff table) as the
-baseline value function. Each term has zero mean under the hand's true
-dynamics, so the estimator stays unbiased while soaking up luck.
+v̂(s, a) is the blueprint's accumulated per-edge EV — the InfoTable's
+``payoff`` column (the reference's eval_policy (edge, weight, value)
+rows). Villain corrections and chance corrections need the villain's
+hole (the reference replays *recorded* hands where both holes are
+known); hands without ``villain_hole`` fall back to hero-action
+corrections only, which keeps the estimator unbiased — every correction
+term is zero-mean independently.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ import math
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..kicker import MENU_PLURIBUS, edges as E, game as G
@@ -39,6 +47,9 @@ class HandRecord:
     hero_hole: np.ndarray
     events: list          # [("col", col, actor_seat)] | [("deal", cards)]
     chips_won: float      # observed hero PnL (bb-scaled by caller)
+    # villain's revealed hole (showdown / recorded self-play). None →
+    # villain-action and chance corrections are skipped for this hand.
+    villain_hole: np.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -60,8 +71,8 @@ class Aivat:
         self.bucket_fn = bucket_fn
         self.menu = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
 
-    def _node_values(self, state):
-        """(σ over columns, v̂ per column, V̂(s)) at a decision state."""
+    def _rows(self, state):
+        """(σ [B,9], per-edge v̂ [B,9], legal [B,9]) at decision states."""
         idx = G.actor_idx(state)
         hole = jnp.take_along_axis(
             state.hole, idx[:, None, None].astype(jnp.int32), axis=1
@@ -74,36 +85,67 @@ class Aivat:
         sub = G.packed_subgame(state)
         klo, khi = make_key(bucket, sub, cmask)
         row, _ = probe_rows(self.table.key_lo, self.table.key_hi, klo, khi)
-        sigma = np.asarray(averaged(self.table.weight[row], legal))[0]
-        # baseline: infoset EV (identical across that row's edges)
-        pay = np.asarray(self.table.payoff[row])[0]
-        lg = np.asarray(legal)[0]
-        v_state = float((pay * lg).sum() / max(lg.sum(), 1))
-        return sigma, v_state, lg
+        sigma = np.asarray(averaged(self.table.weight[row], legal))
+        pay = np.asarray(self.table.payoff[row])
+        return sigma, pay, np.asarray(legal)
+
+    def _action_correction(self, state, col: int) -> float:
+        """Σ_a σ(a)·v̂(a) − v̂(a_taken) from the actor's own infoset
+        (ref: correction.rs action_correction)."""
+        sigma, pay, lg = self._rows(state)
+        sigma, pay, lg = sigma[0], pay[0], lg[0]
+        ev = float((sigma * pay * lg).sum())
+        if not lg[col]:
+            return 0.0  # observed action outside the row (ref: idx=None → 0)
+        return ev - float(pay[col])
+
+    def _chance_correction(self, state, seen: np.ndarray,
+                           observed: int, hero_seat: int) -> float:
+        """mean_c B(deal c) − B(dealt) over every unseen single-card deal,
+        where B is the next actor's blueprint baseline, hero-signed
+        (ref: aivat.rs chance_node_correction)."""
+        from ..subgame.posterior import force_deal
+
+        cards = np.setdiff1d(np.arange(52), seen[seen >= 0])
+        if observed not in cards:
+            cards = np.sort(np.append(cards, observed))
+        n = len(cards)
+        batch = jax.tree.map(
+            lambda a: jnp.broadcast_to(a[0][None], (n,) + a.shape[1:]), state
+        )
+        deal = np.full((n, 3), -1, np.int64)
+        deal[:, 0] = cards
+        nxt = force_deal(batch, jnp.asarray(deal), jnp.asarray([True] * n))
+        # every single-card runout leads to the same actor's turn
+        t = int(np.asarray(G.turn_of(nxt))[0])
+        if t > 1:
+            return 0.0
+        sigma, pay, lg = self._rows(nxt)
+        base = (sigma * pay * lg).sum(axis=1)          # [n]
+        obs_idx = int(np.flatnonzero(cards == observed)[0])
+        delta = float(base.mean() - base[obs_idx])
+        return delta if t == hero_seat else -delta
 
     def evaluate(self, hands: list[HandRecord]) -> AivatDelta:
         raw = np.array([h.chips_won for h in hands], np.float64)
         corrected = raw.copy()
         for i, h in enumerate(hands):
             corr = 0.0
+            villain_seat = 1 - h.hero_seat
             state = G.root(jnp.zeros(2, jnp.uint32), 1)
             hh = jnp.asarray(h.hero_hole.astype(np.int8))[None]
             newhole = state.hole.at[0, h.hero_seat].set(hh[0])
+            if h.villain_hole is not None:
+                vh = jnp.asarray(h.villain_hole.astype(np.int8))[None]
+                newhole = newhole.at[0, villain_seat].set(vh[0])
             state = state._replace(hole=newhole)
-            prev_v = None
             for ev in h.events:
                 if ev[0] == "col":
                     _, col, actor = ev
-                    sigma, v_state, lg = self._node_values(state)
-                    # v̂(s,a): baseline after the action — approximate with
-                    # the next decision's V̂; collect via pairing below
-                    sign = 1.0 if actor == h.hero_seat else -1.0
-                    if prev_v is not None:
-                        # correction for the *previous* node's taken action:
-                        # E_σ[v̂] − v̂(taken) ≈ prev_V − this node's V̂
-                        psigma, pv, _, psign = prev_v
-                        corr += psign * (pv - v_state)
-                    prev_v = (sigma, v_state, col, sign)
+                    if actor == h.hero_seat:
+                        corr += self._action_correction(state, col)
+                    elif h.villain_hole is not None:
+                        corr -= self._action_correction(state, col)
                     state = G.apply_cols(
                         state, jnp.asarray([col]), self.menu,
                         jnp.asarray([True]),
@@ -111,8 +153,19 @@ class Aivat:
                 else:
                     from ..subgame.posterior import force_deal
 
+                    dealt = [int(c) for c in ev[1] if int(c) >= 0]
+                    if len(dealt) == 1 and h.villain_hole is not None:
+                        # turn/river: correct for card luck (flop deals
+                        # are skipped like the reference)
+                        seen = np.concatenate([
+                            np.asarray(h.hero_hole, np.int64),
+                            np.asarray(h.villain_hole, np.int64),
+                            np.asarray(state.board, np.int64)[0],
+                        ])
+                        corr += self._chance_correction(
+                            state, seen, dealt[0], h.hero_seat)
                     cards = np.full(3, -1, np.int64)
-                    for j, c in enumerate(ev[1]):
+                    for j, c in enumerate(dealt):
                         cards[j] = c
                     state = force_deal(
                         state, jnp.asarray(cards), jnp.asarray([True])

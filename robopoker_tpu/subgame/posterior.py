@@ -48,7 +48,9 @@ def force_deal(s: G.TableState, cards: jnp.ndarray,
     """Deal *specific* board cards at chance nodes (replay path).
 
     Same transition as :func:`robopoker_tpu.kicker.game.deal_board` but
-    with observed cards instead of random ones.
+    with observed cards instead of random ones. ``cards`` is [3] (shared
+    across the batch) or [B, 3] (per-lane deals — the AIVAT chance-node
+    enumeration deals every candidate card in one batch).
     """
     b = s.pot.shape[0]
     active = active & (G.turn_of(s) == G.TURN_CHANCE)
@@ -57,9 +59,9 @@ def force_deal(s: G.TableState, cards: jnp.ndarray,
     pos = jnp.arange(G.N_BOARD)[None, :]
     fill = (pos >= n_now[:, None]) & (pos < n_next[:, None]) & active[:, None]
     srcidx = jnp.clip(pos - n_now[:, None], 0, 2)
-    new_cards = jnp.take_along_axis(
-        jnp.broadcast_to(cards[None, :], (b, cards.shape[0])), srcidx, axis=1
-    ).astype(jnp.int8)
+    cards_b = (jnp.broadcast_to(cards[None, :], (b, cards.shape[0]))
+               if cards.ndim == 1 else cards)
+    new_cards = jnp.take_along_axis(cards_b, srcidx, axis=1).astype(jnp.int8)
     board = jnp.where(fill, new_cards, s.board)
     s2 = s._replace(
         board=board,

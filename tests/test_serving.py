@@ -538,3 +538,64 @@ def test_slumbot_agent_full_hand(blueprint):
     assert tok[0] in "fckb"
     if tok.startswith("b"):
         assert int(tok[1:]) % 50 == 0  # slumbot chip scale
+
+
+def test_aivat_variance_reduction_on_selfplay(blueprint):
+    """AIVAT must actually reduce variance (>1x) on blueprint self-play —
+    both players play the blueprint, so skill is exactly zero and every
+    chip of spread is luck the control variates should absorb
+    (ref: crates/arena/src/lib.rs:4-5 '10-44x')."""
+    from robopoker_tpu.kicker import MENU_PLURIBUS, edges as E, game as G
+    from robopoker_tpu.mccfr.engine import averaged
+    from robopoker_tpu.nlhe.table import make_key, probe_rows
+    from robopoker_tpu.serving.aivat import Aivat, HandRecord
+
+    table = blueprint.table
+    menu = jnp.asarray(MENU_PLURIBUS)
+    rng = np.random.default_rng(11)
+
+    def node_sigma(state):
+        idx = G.actor_idx(state)
+        hole = jnp.take_along_axis(
+            state.hole, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        bucket = proxy_bucket(hole.astype(jnp.int32),
+                              state.board.astype(jnp.int32), state.street)
+        legal = G.legal_cols(state, menu)
+        cmask = (legal * (1 << jnp.arange(9))).sum(axis=1).astype(jnp.int32)
+        klo, khi = make_key(bucket, G.packed_subgame(state), cmask)
+        row, _ = probe_rows(table.key_lo, table.key_hi, klo, khi)
+        return np.asarray(averaged(table.weight[row], legal))[0]
+
+    hands = []
+    for h in range(48):
+        state = G.root(jax.random.PRNGKey(1000 + h), 1)
+        hero_hole = np.asarray(state.hole)[0, 0].copy()
+        villain_hole = np.asarray(state.hole)[0, 1].copy()
+        events = []
+        for _ in range(40):
+            t = int(np.asarray(G.turn_of(state))[0])
+            if t == G.TURN_TERMINAL:
+                break
+            if t == G.TURN_CHANCE:
+                before = set(int(c) for c in np.asarray(state.board)[0] if c >= 0)
+                state = G.deal_board(state, jax.random.fold_in(
+                    jax.random.PRNGKey(2000 + h), len(events)))
+                after = [int(c) for c in np.asarray(state.board)[0] if c >= 0]
+                events.append(("deal", [c for c in after if c not in before]))
+                continue
+            sigma = node_sigma(state)
+            col = int(rng.choice(9, p=sigma / sigma.sum()))
+            events.append(("col", col, t))
+            state = G.apply_cols(state, jnp.asarray([col]), menu,
+                                 jnp.asarray([True]))
+        pnl = float(np.asarray(G.settle(state))[0, 0])
+        hands.append(HandRecord(hero_seat=0, hero_hole=hero_hole,
+                                events=events, chips_won=pnl,
+                                villain_hole=villain_hole))
+
+    a = Aivat(table, proxy_bucket)
+    delta = a.evaluate(hands)
+    assert np.isfinite(delta.aivat_mean)
+    # the whole point: corrected variance strictly below raw variance
+    assert delta.reduction > 1.0, f"no variance reduction: {delta.reduction}"
+    assert delta.aivat_stderr < delta.raw_stderr
