@@ -63,6 +63,11 @@ def main(argv=None):
     t.add_argument("--parity", action="store_true",
                    help="walker-parity-specialized steps (even-walker "
                         "trees are ~3x narrower; implies --segmented)")
+    t.add_argument("--cap-margin", type=float, default=1.4,
+                   help="headroom multiplier over the measured emit "
+                        "profile; trees WIDEN as the strategy sharpens "
+                        "past the warmup-measured profile, so long runs "
+                        "need 1.8-2.0 (drops are coverage loss)")
     t.add_argument("--abstraction", default=None,
                    help="dir with turn.npz/flop.npz → LookupBucket "
                         "(default: proxy buckets)")
@@ -143,12 +148,14 @@ def main(argv=None):
                 batch=args.batch, table_log2=args.table_log2,
                 work_cap=args.work_cap, cap=args.cap,
                 max_levels=args.max_levels,
-                level_caps=(segmented_caps(args.batch, args.max_levels)
+                level_caps=(segmented_caps(args.batch, args.max_levels,
+                                           margin=args.cap_margin)
                             if args.segmented or args.parity else None),
             ),
             bucket_fn=bucket,
             mesh=mesh,
             parity_steps=args.parity,
+            cap_margin=args.cap_margin,
         )
         session.train(args.epochs)
         return 0

@@ -60,7 +60,8 @@ def load_street_artifacts(path) -> dict:
     import pathlib
 
     out = {}
-    for street, name in ((1, "flop"), (2, "turn"), (3, "river")):
+    for street, name in ((0, "preflop"), (1, "flop"), (2, "turn"),
+                         (3, "river")):
         p = pathlib.Path(path) / f"{name}.npz"
         if not p.exists():
             continue
@@ -187,6 +188,79 @@ def build_river(pocket: np.ndarray, board5: np.ndarray,
     grid = np.abs(np.arange(101)[:, None] - np.arange(101)[None, :]) / 100.0
     return StreetArtifacts(3, np.eye(101, dtype=np.float32), lookup,
                            grid.astype(np.float32), buckets)
+
+
+def build_preflop(flop: StreetArtifacts,
+                  sinkhorn_hp: SinkhornHyperParams = SinkhornHyperParams()
+                  ) -> StreetArtifacts:
+    """Preflop street: the 169 canonical hole classes with their
+    flop-cluster transition histograms and pairwise Sinkhorn metric
+    (ref: crates/forge/src/pretraining.rs:15,48 — PrefLayer produces a
+    169-point lookup + metric + future; no clustering, every class is
+    its own bucket).
+
+    The histogram of class h is the distribution of flop clusters over
+    all C(50,3) = 19,600 child boards; it doubles as the reference's
+    ``Future`` transition artifact. Bucket values are
+    :func:`robopoker_tpu.nlhe.abstraction.preflop_class` matrix ids so
+    topology queries agree with the trainer's street-0 buckets.
+    """
+    from math import comb
+
+    from .. import native
+    from ..deuce.isomorphism import HASH_VERSION
+    from ..nlhe.abstraction import preflop_class
+    from .lookup import lookup_device
+
+    # one representative pocket per canonical class, via the exhaustive
+    # preflop scan (169 — cheap CPU check of the identity path)
+    from itertools import combinations
+
+    reps = {}
+    for a, b in combinations(range(52), 2):
+        cls = int(preflop_class(jnp.asarray([[a, b]]))[0])
+        reps.setdefault(cls, (a, b))
+    assert len(reps) == 169, len(reps)
+
+    boards = native.enumerate_subsets(0, comb(52, 3), 3).astype(np.int32)
+    kf = flop.centroids.shape[0]
+    flop_lk = flop.lookup.device()
+    from ..deuce.isomorphism import canonical_key, hash_for_version
+
+    hash_fn = hash_for_version(flop_lk.hash_version)
+    hist = np.zeros((169, kf), np.float32)
+    pockets = np.zeros((169, 2), np.int32)
+    for cls, (a, b) in sorted(reps.items()):
+        overlap = (boards == a).any(1) | (boards == b).any(1)
+        bb = boards[~overlap]
+        pk = jnp.broadcast_to(jnp.asarray([a, b], jnp.int32)[None], (len(bb), 2))
+        words = canonical_key(pk, jnp.asarray(bb))
+        h1, h2 = hash_fn(words)
+        cl = np.asarray(lookup_device(flop_lk, h1, h2, default=-1))
+        assert (cl >= 0).all(), f"flop lookup miss under class {cls}"
+        hist[cls] = np.bincount(cl, minlength=kf) / len(cl)
+        pockets[cls] = (a, b)
+
+    # pairwise debiased Sinkhorn metric over the flop ground metric
+    h = jnp.asarray(hist)
+    cost = jnp.asarray(flop.metric, jnp.float32)
+    self_c = sinkhorn_cost(h, h, cost, sinkhorn_hp)
+    mu = jnp.repeat(h, 169, axis=0)
+    nu = jnp.tile(h, (169, 1))
+    xy = sinkhorn_cost(mu, nu, cost, sinkhorn_hp).reshape(169, 169)
+    metric = np.asarray(jnp.maximum(
+        xy - 0.5 * (self_c[:, None] + self_c[None, :]), 0.0))
+
+    words = canonical_key(jnp.asarray(pockets),
+                          jnp.full((169, 0), -1, jnp.int32))
+    h1, h2 = hash_key(words)
+    lookup = build_lookup(np.asarray(h1), np.asarray(h2),
+                          np.arange(169, dtype=np.int32),
+                          hash_version=HASH_VERSION)
+    return StreetArtifacts(0, hist, lookup, metric,
+                           np.arange(169, dtype=np.int32),
+                           pocket=pockets,
+                           board=np.zeros((169, 0), np.int8))
 
 
 def cluster_flop(pocket: np.ndarray, board3: np.ndarray, turn: StreetArtifacts,

@@ -50,6 +50,7 @@ class FastSession:
     bucket_fn: object = None
     mesh: object = None          # jax Mesh → data-parallel step
     parity_steps: bool = False   # walker-parity-specialized compiled steps
+    cap_margin: float = 1.4      # emit-profile headroom (see make_parity_steps)
 
     def __post_init__(self):
         self.workdir = pathlib.Path(self.workdir)
@@ -68,6 +69,7 @@ class FastSession:
 
             self._parity_pair = make_parity_steps(
                 bucket, self.regret, self.weight, self.sampling, self.trainer,
+                margin=self.cap_margin,
             )
             self.step = self._dispatch_parity
         else:
@@ -99,27 +101,42 @@ class FastSession:
         self._epoch_host += 1
         return step(table, key)
 
-    def snapshot(self) -> None:
+    def snapshot(self, dense: bool = False) -> None:
+        """Flush checkpoints. Periodic flushes write compact files only
+        (ONE device-side occupied-rows gather — the dense [2^23, 9] table
+        is ~1.2 GB through the MB/s tunnel and the round-1 path fetched
+        it twice, stalling ~10 min per flush); the dense resume
+        checkpoint is written on the final flush (``dense=True``) —
+        resume falls back to blueprint_compact.npz anyway."""
         t0 = time.monotonic()
+        import json as _json
+
         import jax.numpy as jnp
 
-        from ..utils.checkpoint import save_compact
+        from ..utils.checkpoint import fetch_compact, save_compact_dict
 
         # per-epoch positive regret mass: the convergence curve the
         # reference's training dashboard plots (README "sum regret ↓136")
         sum_regret = float(jnp.maximum(self.table.regret, 0.0).sum()) / max(
             int(self.table.epoch), 1
         )
-        save_table(self.ckpt, self.table, self.run,
-                   extra={"sum_regret": sum_regret})
-        # occupied-rows-only twin: small enough for version control, and
-        # the epoch-stamped history feeds exploitability-vs-epoch curves
-        save_compact(self.workdir / "blueprint_compact.npz", self.table,
-                     self.run)
+        d = fetch_compact(self.table)
+        save_compact_dict(self.workdir / "blueprint_compact.npz", d, self.run)
         hist = self.workdir / "compact"
         hist.mkdir(exist_ok=True)
-        save_compact(hist / f"ep{int(self.table.epoch):06d}.npz",
-                     self.table, self.run)
+        save_compact_dict(hist / f"ep{int(d['epoch']):06d}.npz", d, self.run)
+        if dense:
+            save_table(self.ckpt, self.table, self.run,
+                       extra={"sum_regret": sum_regret})
+        else:
+            with open(self.workdir / "snapshots.jsonl", "a") as f:
+                f.write(_json.dumps({
+                    "time": time.time(), "epoch": int(d["epoch"]),
+                    "file": "blueprint_compact.npz",
+                    "fingerprint": self.run.fingerprint(),
+                    "touched_rows": int(len(d["rows"])),
+                    "sum_regret": sum_regret,
+                }) + "\n")
         self.metrics.set("mccfr_flush_duration", time.monotonic() - t0)
         self.metrics.set("mccfr_sum_regret", sum_regret)
 
@@ -156,7 +173,7 @@ class FastSession:
             if interrupt.interrupted():
                 break
         jax.block_until_ready(self.table)
-        self.snapshot()
+        self.snapshot(dense=True)
         self.metrics.maybe_log(force=True)
 
 

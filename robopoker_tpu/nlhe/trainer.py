@@ -90,17 +90,22 @@ class TrainerConfig:
 
 # per-tree children emitted at each level, measured UNCLIPPED (generous
 # caps) during the pluribus warmup phase (full branching — the widest
-# case) via the level_emit metric; margin covers epoch-to-epoch variance
-EMIT_PROFILE = (7.0, 17.0, 33.0, 69.0, 116.0, 112.0, 56.0, 8.0)
+# case) via the level_emit metric; margin covers epoch-to-epoch variance.
+# Round-2 re-measurement under the EXHAUSTIVE artifacts
+# (scripts/profile_emit.py; round 1 profiled on the 300k artifacts and
+# dropped ~3% of nodes in production) — values are the element-wise max
+# of both measurements, and the default margin widened 1.25 → 1.4: the
+# drop rate is coverage loss and lanes are cheaper than bias.
+EMIT_PROFILE = (7.0, 17.0, 33.0, 69.0, 118.0, 115.0, 56.0, 8.0)
 # walker parity changes the tree shape drastically: epochs where the
 # walker is seat 0 (the SB/dealer, even t) terminate much earlier —
 # their frontier peaks ~3x narrower. A parity-specialized pair of
 # compiled steps exploits this (see make_parity_steps).
-EMIT_PROFILE_EVEN = (7.0, 16.0, 27.0, 41.0, 36.0, 12.0, 3.0, 1.0)
+EMIT_PROFILE_EVEN = (7.0, 17.0, 28.0, 42.0, 36.0, 12.0, 3.0, 1.0)
 
 
 def segmented_caps(batch: int, max_levels: int = 8,
-                   margin: float = 1.25, align: int = 256,
+                   margin: float = 1.4, align: int = 256,
                    profile: tuple = EMIT_PROFILE) -> tuple[int, ...]:
     """Per-level worklist widths from the measured emit profile."""
     prof = list(profile[:max_levels])
@@ -741,23 +746,29 @@ def make_nlhe_step(
 
 
 def make_parity_steps(bucket_fn, regret_schedule, weight_schedule, sampling,
-                      config: TrainerConfig = TrainerConfig(), **kw):
+                      config: TrainerConfig = TrainerConfig(),
+                      margin: float = 1.4, **kw):
     """(step_even, step_odd): walker-parity-specialized epoch steps.
 
     The caller dispatches on ``epoch % 2`` (the walker seat). Even-walker
     trees are ~3x narrower at peak, so their step compiles with the
     narrow cap schedule and runs proportionally faster; results are
     identical to a single step with each parity's caps.
+
+    ``margin``: headroom over the measured emit profile. The profile is
+    measured on a FRESH table; trees widen as the strategy sharpens
+    (measured: marginal drop rate climbing 0.1% → 2% over the first 400
+    epochs at margin 1.4), so production runs want 1.8-2.0.
     """
     even = dataclasses.replace(
         config,
         level_caps=segmented_caps(config.batch, config.max_levels,
-                                  profile=EMIT_PROFILE_EVEN),
+                                  margin=margin, profile=EMIT_PROFILE_EVEN),
     )
     odd = dataclasses.replace(
         config,
         level_caps=config.level_caps
-        or segmented_caps(config.batch, config.max_levels),
+        or segmented_caps(config.batch, config.max_levels, margin=margin),
     )
     return (
         make_nlhe_step(bucket_fn, regret_schedule, weight_schedule,

@@ -27,7 +27,7 @@ from ..deuce.observation import river_equity
 from ..lloyd.histogram import child_cluster_histograms, turn_histograms
 from ..lloyd.sinkhorn import sinkhorn_divergence, variation_distance
 
-FLOP, TURN = 1, 2
+PREF, FLOP, TURN = 0, 1, 2
 
 
 class Topology:
@@ -53,7 +53,14 @@ class Topology:
                 jnp.asarray(pocket[None]), jnp.asarray(board[None, :3]),
                 turn.lookup.device(), turn.centroids.shape[0],
             ))[0]
-        raise ValueError("histograms exist for flop(1)/turn(2) streets")
+        if street == PREF:
+            # preflop features are the stored per-class flop-cluster
+            # transition histograms (ref: PrefLayer Future artifact)
+            from ..nlhe.abstraction import preflop_class
+
+            cls = int(preflop_class(jnp.asarray(pocket[None]))[0])
+            return np.asarray(self._art(PREF).centroids[cls])
+        raise ValueError("histograms exist for preflop(0)/flop(1)/turn(2)")
 
     def abs_histogram(self, street: int, k: int) -> np.ndarray:
         """Centroid feature of a bucket (ref: abs_histogram)."""
@@ -65,7 +72,9 @@ class Topology:
         if street == TURN:
             return float(np.asarray(variation_distance(
                 jnp.asarray(a[None]), jnp.asarray(b[None])))[0])
-        cost = jnp.asarray(self._art(TURN).metric)
+        # flop features live over the TURN metric; preflop features over
+        # the FLOP metric (each street's ground cost is its child street)
+        cost = jnp.asarray(self._art(TURN if street == FLOP else FLOP).metric)
         return float(np.asarray(sinkhorn_divergence(
             jnp.asarray(a[None]), jnp.asarray(b[None]), cost))[0])
 

@@ -199,20 +199,33 @@ def main():
         print(f"turn artifact loaded: {turn.centroids.shape[0]} clusters, "
               f"{len(turn.assignment)} points", flush=True)
 
-    if "flop" not in streets:
-        return
+    flop = None
+    if "flop" in streets:
+        print("== flop street ==", flush=True)
+        p3, b3 = canonical_sample(3, flop_budget)
+        t0 = time.time()
+        fhp = (hp if args.flop_iters is None
+               else KmeansHyperParams(iterations=args.flop_iters))
+        flop = cluster_flop(p3, b3, turn, k=args.k, key=key,
+                            chunk=max(args.chunk // 4, 256), hp=fhp,
+                            checkpoint_dir=out / "ckpt_flop",
+                            prune_m=args.prune_m)
+        print(f"flop clustered in {time.time()-t0:.0f}s", flush=True)
+        save_street("flop", flop, p3, b3)
 
-    print("== flop street ==", flush=True)
-    p3, b3 = canonical_sample(3, flop_budget)
-    t0 = time.time()
-    fhp = (hp if args.flop_iters is None
-           else KmeansHyperParams(iterations=args.flop_iters))
-    flop = cluster_flop(p3, b3, turn, k=args.k, key=key,
-                        chunk=max(args.chunk // 4, 256), hp=fhp,
-                        checkpoint_dir=out / "ckpt_flop",
-                        prune_m=args.prune_m)
-    print(f"flop clustered in {time.time()-t0:.0f}s", flush=True)
-    save_street("flop", flop, p3, b3)
+    if "preflop" in streets:
+        from robopoker_tpu.lloyd.lookup import load_lookup
+        from robopoker_tpu.lloyd.pipeline import build_preflop
+
+        if flop is None:
+            with np.load(out / "flop.npz") as z:
+                flop = StreetArtifacts(1, z["centroids"], load_lookup(z),
+                                       z["metric"], z["assignment"])
+        print("== preflop street ==", flush=True)
+        t0 = time.time()
+        pref = build_preflop(flop)
+        print(f"preflop built in {time.time()-t0:.0f}s", flush=True)
+        save_street("preflop", pref, pref.pocket, pref.board)
     print(f"artifacts → {out}", flush=True)
 
 

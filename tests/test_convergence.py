@@ -119,3 +119,75 @@ def test_different_seed_differs():
     a.solve(2 ** 10)
     b.solve(2 ** 10)
     assert not np.array_equal(np.asarray(a.profile.regret), np.asarray(b.profile.regret))
+
+
+# ---------------------------------------------------------------------------
+# Full-budget reference parity bands (μ+4σ tolerances from the reference's
+# own calibration) — `-m slow`. The CI tests above run reduced budgets;
+# these are the actual contract (ref: crates/kuhn/src/solver.rs:89,139-231,
+# crates/leduc/src/solver.rs:183).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_kuhn_nash_full_budget_reference_bands():
+    """2^18 iterations, reference per-policy bands (solver.rs:178-203)."""
+    K = kuhn_mod
+    s = Solver(Kuhn(), FLOORED_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING,
+               seed=0)
+    s.solve(2 ** 18)
+
+    def pol(history, rank, edge):
+        return s.averaged_policy((history, rank), edge)
+
+    def near(v, target, tol, label):
+        assert abs(v - target) < tol, f"{label}: {v:.3f} not ±{tol} of {target:.3f}"
+
+    near(pol(K.OPEN, K.JACK, K.BET), 9 / 31, 0.05, "a = J| bet")
+    near(pol(K.BETTED, K.QUEEN, K.CALL), 17 / 31, 0.05, "c1 = Q|B call")
+    near(pol(K.CHECKBET, K.QUEEN, K.CALL), 23 / 31, 0.05, "c2 = Q|XB call")
+    near(pol(K.CHECKED, K.JACK, K.BET), 9 / 31, 0.05, "b = J|X bet")
+    near(pol(K.CHECKED, K.QUEEN, K.BET), 8 / 31, 0.18, "d = Q|X bet")
+    # pure strategies (reference: > 0.95 / > 0.85)
+    assert pol(K.BETTED, K.JACK, K.FOLD) > 0.95, "J|B should fold"
+    assert pol(K.CHECKBET, K.JACK, K.FOLD) > 0.95, "J|XB should fold"
+    assert pol(K.BETTED, K.KING, K.CALL) > 0.95, "K|B should call"
+    assert pol(K.CHECKBET, K.KING, K.CALL) > 0.95, "K|XB should call"
+    assert pol(K.CHECKED, K.KING, K.BET) > 0.95, "K|X should bet"
+    assert pol(K.OPEN, K.QUEEN, K.CHECK) > 0.85, "Q| should check"
+    # structural invariant: K opens 3x J's bluff rate
+    ratio = pol(K.OPEN, K.KING, K.BET) / max(pol(K.OPEN, K.JACK, K.BET), 1e-9)
+    assert abs(ratio - 3.0) < 0.4, f"k/a = {ratio:.2f} not ≈ 3"
+    assert s.exploitability() < 0.02
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "regret,weight,sampling,tol",
+    [
+        # reference kuhn! exploitability tolerances at 2^18
+        # (solver.rs:232-260); a representative row per regret family
+        (SUMMED_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.025),
+        (LINEAR_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.020),
+        (FLOORED_REGRET, QUADRATIC_WEIGHT, EXTERNAL_SAMPLING, 0.020),
+        (DISCOUNTED_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.020),
+        (ASYMMETRIC_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING, 0.020),
+        (FLOORED_REGRET, LINEAR_WEIGHT, PRUNABLE_SAMPLING, 0.020),
+    ],
+)
+def test_kuhn_scheme_matrix_full_budget(regret, weight, sampling, tol):
+    s = Solver(Kuhn(), regret, weight, sampling, seed=1)
+    s.solve(2 ** 18)
+    e = s.exploitability()
+    assert e < tol, (regret.name, weight.name, e)
+
+
+@pytest.mark.slow
+def test_leduc_full_budget():
+    """2^18 iterations: exploitability < 0.05 (ref leduc/src/solver.rs:183
+    asserts subgame sum_regret < 0.5; the blueprint-side contract used
+    throughout the reference's docs is exploitability < 0.05)."""
+    s = Solver(Leduc(), FLOORED_REGRET, LINEAR_WEIGHT, EXTERNAL_SAMPLING,
+               seed=0)
+    s.solve(2 ** 18)
+    assert s.exploitability() < 0.05
