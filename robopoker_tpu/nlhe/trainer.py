@@ -168,6 +168,7 @@ def make_nlhe_step(
     training_hp: TrainingHyperParams = TrainingHyperParams(),
     menu: np.ndarray | None = None,
     axis_name: str | None = None,
+    shard_rows: bool = False,
 ):
     """Build the jitted NLHE MCCFR epoch step.
 
@@ -177,6 +178,16 @@ def make_nlhe_step(
     before the (replicated) schedule application — every device applies
     the identical update, so the table stays consistent without a
     parameter server (SURVEY §2.5 P3, §5.8).
+
+    ``shard_rows`` (requires ``axis_name``): the InfoTable persists
+    ROW-SHARDED across the mesh — device d owns rows [d·T/D, (d+1)·T/D).
+    Rollouts read from a per-step all_gather of the four read-path arrays
+    (regret/weight/key words — the ZeRO-style gather-for-compute flow);
+    deltas ``psum_scatter`` so each owner applies schedules to its block
+    only; payoff/visits/bucket/choices never leave their shard. This is
+    the SURVEY §5.8 sharded learner table for configurations whose state
+    exceeds replication headroom (the reference's 3 GB river lookup +
+    200M-row blueprint scenario).
     """
     from ..kicker.edges import MENU_PLURIBUS
 
@@ -273,6 +284,20 @@ def make_nlhe_step(
         return cols
 
     def step(table: InfoTable, key: jnp.ndarray):
+        if shard_rows:
+            assert axis_name is not None, "shard_rows requires axis_name"
+            read = table._replace(
+                regret=jax.lax.all_gather(
+                    table.regret, axis_name, axis=0, tiled=True),
+                weight=jax.lax.all_gather(
+                    table.weight, axis_name, axis=0, tiled=True),
+                key_lo=jax.lax.all_gather(
+                    table.key_lo, axis_name, axis=0, tiled=True),
+                key_hi=jax.lax.all_gather(
+                    table.key_hi, axis_name, axis=0, tiled=True),
+            )
+        else:
+            read = table
         t = table.epoch
         walker = (t % 2).astype(jnp.int32)
         ekey = jax.random.fold_in(key, t)
@@ -298,7 +323,7 @@ def make_nlhe_step(
 
         # --- roots --------------------------------------------------------
         roots = G.root(jax.random.fold_in(ekey, 900001), B)
-        roots, r0 = roll(roots, table, walker, jax.random.fold_in(ekey, 900002))
+        roots, r0 = roll(roots, read, walker, jax.random.fold_in(ekey, 900002))
         t0 = G.turn_of(roots)
         term0 = t0 == G.TURN_TERMINAL
         pnl0 = G.settle(roots)
@@ -345,10 +370,10 @@ def make_nlhe_step(
             level_live = level_live.at[lvl].set(work_valid.sum())
 
             klo, khi, legal, buck = lookup(work_states)
-            row, fb = probe_rows(table.key_lo, table.key_hi, klo, khi,
+            row, fb = probe_rows(read.key_lo, read.key_hi, klo, khi,
                                  C.n_probes)
             fallbacks = fallbacks + (fb & work_valid).sum()
-            regret_rows = table.regret[row]
+            regret_rows = read.regret[row]
 
             legal = legal & work_valid[:, None]
             if sampling.prunes:
@@ -435,7 +460,7 @@ def make_nlhe_step(
             )
 
             # Phase 2 — one roll + settle for the whole level's children
-            st, rr = roll(next_states, table, walker,
+            st, rr = roll(next_states, read, walker,
                           jax.random.fold_in(lkey, 77))
             term = (G.turn_of(st) == G.TURN_TERMINAL) & next_valid
             vv = G.settle(st)[:, walker]
@@ -506,7 +531,7 @@ def make_nlhe_step(
 
         # --- tail: deep lines become on-policy sampled values -------------
         st, _ = roll(
-            work_states, table, walker, jax.random.fold_in(ekey, 999),
+            work_states, read, walker, jax.random.fold_in(ekey, 999),
             include_walker=True, steps=C.tail_steps,
         )
         ttail = G.turn_of(st)
@@ -521,7 +546,7 @@ def make_nlhe_step(
         rows_b = jnp.arange(B)[:, None]
         v = jnp.where(is_term, term_value, 0.0)  # [B, CAP]
         edge_val = jnp.zeros((B, CAP, N_COLS), jnp.float32)
-        pi_all = regret_matching_rows(table.regret[row_of], legal_of)
+        pi_all = regret_matching_rows(read.regret[row_of], legal_of)
 
         def up_body(i, ucarry):
             v, edge_val = ucarry
@@ -546,7 +571,7 @@ def make_nlhe_step(
         )
         pdelta_slot = jnp.where(upd, reach * v, 0.0)
 
-        T = table.capacity
+        T = read.capacity
         rows_flat = jnp.where(upd, row_of, T).reshape(-1)
         # one fused multi-column scatter-add builds every per-row
         # aggregate (regret deltas, touched/legal occurrence counts,
@@ -572,7 +597,14 @@ def make_nlhe_step(
         if axis_name is not None:
             # occurrence columns are counts, so a single psum covers the
             # boolean ORs too (count > 0)
-            agg = jax.lax.psum(agg, axis_name)
+            if shard_rows:
+                # sharded learner: each device receives only ITS row
+                # block's delta sum (reduce_scatter rides ICI at 1/D the
+                # all-reduce volume) and applies schedules locally below
+                agg = jax.lax.psum_scatter(
+                    agg, axis_name, scatter_dimension=0, tiled=True)
+            else:
+                agg = jax.lax.psum(agg, axis_name)
             # every replica must apply every shard's touched rows or the
             # replicated table diverges
             rows_flat = jax.lax.all_gather(rows_flat, axis_name).reshape(-1)
@@ -585,6 +617,14 @@ def make_nlhe_step(
                      * (1 << jnp.arange(N_COLS))).sum(-1)
             cm_bc = jax.lax.all_gather(
                 cm_of.reshape(-1), axis_name).reshape(-1)
+            if shard_rows:
+                # localize the global touched-row list to this owner's
+                # block; foreign rows map to the spill index (= block)
+                block = table.capacity
+                lo = jax.lax.axis_index(axis_name) * block
+                inblk = (rows_flat >= lo) & (rows_flat < lo + block)
+                rows_flat = jnp.where(inblk, rows_flat - lo, block)
+                T = block
         else:
             upd_bc = upd.reshape(-1)
             klo_bc = klo_of.reshape(-1)
@@ -701,8 +741,12 @@ def make_nlhe_step(
             "tail_live": work_valid.sum(),
         }
         if axis_name is not None:
+            # replicated mode: every device computes identical touched_rows
+            # (don't double-count); sharded mode: each owner counts its own
+            # block, so the total IS the psum
             metrics = {
-                k: (jax.lax.psum(v, axis_name) if k != "touched_rows" else v)
+                k: (jax.lax.psum(v, axis_name)
+                    if (k != "touched_rows" or shard_rows) else v)
                 for k, v in metrics.items()
             }
         return new_table, metrics

@@ -109,3 +109,47 @@ def test_sharded_cluster_reproduces_single_device():
                          chunk=64)
     assert np.array_equal(r1.assignment, r8.assignment)
     assert np.allclose(r1.centroids, r8.centroids, atol=1e-6)
+
+
+def test_sharded_table_matches_replicated():
+    """Row-sharded learner table (SURVEY §5.8): device d owns rows
+    [d*T/D, (d+1)*T/D), reads go through a per-step all_gather, deltas
+    psum_scatter to their owner. Must produce the same table as the
+    replicated step — with real LookupBucket artifacts threaded."""
+    import pathlib
+
+    import numpy as np
+
+    from robopoker_tpu.mccfr import (LINEAR_REGRET, LINEAR_WEIGHT,
+                                     PLURIBUS_SAMPLING)
+    from robopoker_tpu.nlhe import TrainerConfig, init_table, proxy_bucket
+    from robopoker_tpu.parallel import (make_mesh, make_sharded_nlhe_step,
+                                        make_sharded_table_step, shard_table)
+
+    art = pathlib.Path(__file__).parent.parent / "artifacts" / "abstraction"
+    if art.exists():
+        from robopoker_tpu.nlhe.abstraction import LookupBucket
+
+        bucket = LookupBucket.load(art)
+    else:
+        bucket = proxy_bucket
+    mesh = make_mesh(8)
+    cfg = TrainerConfig(batch=2, level_cap=16, cap=64, max_levels=2,
+                        roll_steps=3, tail_steps=6, table_log2=12)
+    rep_step = make_sharded_nlhe_step(bucket, LINEAR_REGRET, LINEAR_WEIGHT,
+                                      PLURIBUS_SAMPLING, mesh, cfg)
+    sh_step = make_sharded_table_step(bucket, LINEAR_REGRET, LINEAR_WEIGHT,
+                                      PLURIBUS_SAMPLING, mesh, cfg)
+    t_rep = init_table(12)
+    t_sh = shard_table(init_table(12), mesh)
+    key = jax.random.PRNGKey(0)
+    for i in range(3):
+        t_rep, m_rep = rep_step(t_rep, jax.random.fold_in(key, i))
+        t_sh, m_sh = sh_step(t_sh, jax.random.fold_in(key, i))
+    assert int(m_rep["nodes"]) == int(m_sh["nodes"])
+    assert int(m_sh["touched_rows"]) > 0
+    for f in ("regret", "weight", "payoff", "visits",
+              "key_lo", "key_hi", "bucket", "choices"):
+        a = np.asarray(getattr(t_rep, f))
+        b = np.asarray(getattr(t_sh, f))
+        assert np.allclose(a, b, atol=1e-4), f
