@@ -72,13 +72,23 @@ def canonical_sample(n_board: int, budget: int, chunk: int = 1 << 16,
             # exhaustive: dedupe on the EXACT packed words (hash dedupe
             # merged 792 turn classes); a per-chunk isin against the
             # (millions-deep) accumulated set re-sorts it every chunk —
-            # collect everything and dedupe ONCE at the end instead.
+            # dedupe per chunk and compact the accumulators every 2048
+            # chunks instead, which bounds host memory across the heavy
+            # cross-chunk duplication of a river-scale sweep (ADVICE
+            # round-1 #4) while keeping the final global unique cheap.
             kv = exact_pack(np.asarray(words))
             keep = unique_rows(kv)
             hashes_acc.append(kv[keep])
             pockets_acc.append(p[keep].astype(np.int8))
             boards_acc.append(b[keep].astype(np.int8))
             count += len(keep)
+            if len(hashes_acc) >= 2048:
+                kv_all = np.concatenate(hashes_acc)
+                keep_all = unique_rows(kv_all)
+                hashes_acc = [kv_all[keep_all]]
+                pockets_acc = [np.concatenate(pockets_acc)[keep_all]]
+                boards_acc = [np.concatenate(boards_acc)[keep_all]]
+                count = len(keep_all)
             if i % 64 == 0:
                 print(f"  scan {i}/{len(starts)}: {count} canonical "
                       f"({time.time()-t0:.0f}s)", flush=True)
