@@ -92,13 +92,21 @@ def fetch_compact(table: InfoTable) -> dict:
         | (jnp.abs(table.regret).sum(1) > 0)
         | (jnp.abs(table.weight).sum(1) > 0)
     )
-    rows = jnp.nonzero(occ)[0]
-    d = {"rows": np.asarray(rows).astype(np.int64),
+    n = int(occ.sum())
+    # STATIC-size nonzero, bucketed to the next power of two: a dynamic
+    # row count gives every flush a fresh gather shape, and the remote
+    # compile service pays ~60s per program — the first 2^23-table flush
+    # spent ~10 min recompiling. Pow2 buckets reuse the compiled gathers
+    # across flushes (fill rows duplicate row 0 and are sliced off after
+    # the fetch; nonzero returns sorted indices, fills at the end).
+    cap = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 10)
+    rows = jnp.nonzero(occ, size=cap, fill_value=0)[0]
+    d = {"rows": np.asarray(rows)[:n].astype(np.int64),
          "capacity": np.int64(table.capacity),
          "epoch": np.asarray(table.epoch)}
     for k in ("regret", "weight", "payoff", "visits",
               "key_lo", "key_hi", "bucket", "choices"):
-        d[k] = np.asarray(getattr(table, k)[rows])
+        d[k] = np.asarray(getattr(table, k)[rows])[:n]
     return d
 
 
