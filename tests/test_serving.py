@@ -61,7 +61,7 @@ def test_litmus_grid_integrity(blueprint):
         pathlib.Path("robopoker_tpu/serving/scenarios.json")
     )
     results = litmus.evaluate(blueprint, doc)
-    assert len(results) == 7
+    assert len(results) == 48  # round-2 expanded matrix
     # grid-slot integrity must always hold, trained or not
     for r in results:
         if r.category == "integrity":
