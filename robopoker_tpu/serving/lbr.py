@@ -145,6 +145,13 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
     opp_holes = jnp.asarray(ALL_POCKETS)
     hole_index = jnp.asarray(_HOLE_INDEX)
 
+    # trace-time indirection (same trap as the trainer): the blueprint
+    # table and any LookupBucket artifacts must thread through jit as
+    # ARGUMENTS — closing over them bakes them into the HLO (the
+    # exhaustive river tables made the LBR program a 4.5 GB proto)
+    _tbl = [table]
+    _bound = [bucket_fn]
+
     def hole_policies(states):
         """Blueprint averaged policy for every candidate hole: [N,1326,9]."""
         board = states.board.astype(jnp.int32)
@@ -156,20 +163,19 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
         ).reshape(N * _N_HOLES, 2)
         bb = jnp.repeat(board, _N_HOLES, axis=0)
         ss = jnp.repeat(states.street, _N_HOLES, axis=0)
-        bucket = bucket_fn(hh, bb, ss)
+        bucket = _bound[0](hh, bb, ss)
         klo, khi = make_key(
             bucket,
             jnp.repeat(sub, _N_HOLES, axis=0),
             jnp.repeat(cmask, _N_HOLES, axis=0),
         )
-        row, _ = probe_rows(table.key_lo, table.key_hi, klo, khi)
+        row, _ = probe_rows(_tbl[0].key_lo, _tbl[0].key_hi, klo, khi)
         pol = averaged(
-            table.weight[row], jnp.repeat(legal, _N_HOLES, axis=0)
+            _tbl[0].weight[row], jnp.repeat(legal, _N_HOLES, axis=0)
         )
         return pol.reshape(N, _N_HOLES, N_COLS), legal
 
-    @functools.partial(jax.jit, static_argnames=())
-    def play(key: jnp.ndarray, lbr_seat: jnp.ndarray):
+    def play_body(key: jnp.ndarray, lbr_seat: jnp.ndarray):
         states = G.root(jax.random.fold_in(key, 1), N)
         lbr_hole = jnp.take_along_axis(
             states.hole.astype(jnp.int32),
@@ -300,7 +306,20 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
         )[:, 0]
         return jnp.where(done, lbr_pnl, 0.0), done
 
-    return play
+    btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
+
+    def play_with_args(key, lbr_seat, tbl, bt):
+        _tbl[0] = tbl
+        if bt is not None:
+            _bound[0] = bucket_fn.bind(bt)
+        try:
+            return play_body(key, lbr_seat)
+        finally:
+            _tbl[0] = table
+            _bound[0] = bucket_fn
+
+    jitted = jax.jit(play_with_args)
+    return lambda key, lbr_seat: jitted(key, lbr_seat, table, btree)
 
 
 def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
