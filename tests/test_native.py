@@ -51,3 +51,44 @@ def test_equity_parity_with_device():
         hands[:, :2].astype(np.int32), hands[:, 2:].astype(np.int32)
     ))
     assert np.abs(ne - de).max() < 1e-6
+
+
+def test_board_factored_equity_matches_brute_force():
+    """rp_river_board_equities (one 1326-strength pass + order-statistics
+    counting per board) must reproduce the per-observation brute-force
+    equity exactly — it is the exhaustive 123M-iso river sweep kernel."""
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    boards = np.stack([rng.permutation(52)[:5] for _ in range(8)]).astype(
+        np.int8)
+    eq, valid = native.river_board_equities(boards)
+    from robopoker_tpu.deuce.observation import ALL_POCKETS
+
+    assert (valid.sum(axis=1) == 1081).all()  # C(47,2) live pockets
+    for i in range(len(boards)):
+        v = valid[i].astype(bool)
+        pk = ALL_POCKETS[v].astype(np.int8)
+        bd = np.repeat(boards[i][None], v.sum(), 0)
+        ref = native.river_equity_batch(pk, bd)
+        assert np.abs(eq[i][v] - ref).max() < 1e-6
+
+
+def test_enumerate_subsets_colex():
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library not built")
+    from math import comb
+
+    s = native.enumerate_subsets(0, 16, 5)
+    # colex order: first subset is {4,3,2,1,0}
+    assert sorted(s[0].tolist()) == [0, 1, 2, 3, 4]
+    # all distinct, all valid cards
+    assert len({tuple(sorted(r)) for r in s.tolist()}) == 16
+    assert (s >= 0).all() and (s < 52).all()
+    # tail clamps at the total count
+    tail = native.enumerate_subsets(comb(52, 5) - 3, 10, 5)
+    assert len(tail) == 3
