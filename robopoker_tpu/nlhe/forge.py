@@ -113,7 +113,8 @@ class FastSession:
 
         import jax.numpy as jnp
 
-        from ..utils.checkpoint import fetch_compact, save_compact_dict
+        from ..utils.checkpoint import (fetch_compact, save_compact_dict,
+                                        save_table_from_compact)
 
         # per-epoch positive regret mass: the convergence curve the
         # reference's training dashboard plots (README "sum regret ↓136")
@@ -126,8 +127,10 @@ class FastSession:
         hist.mkdir(exist_ok=True)
         save_compact_dict(hist / f"ep{int(d['epoch']):06d}.npz", d, self.run)
         if dense:
-            save_table(self.ckpt, self.table, self.run,
-                       extra={"sum_regret": sum_regret})
+            # reconstructed host-side from the compact dict — identical
+            # to a device fetch, without re-shipping the dense arrays
+            save_table_from_compact(self.ckpt, d, self.run,
+                                    extra={"sum_regret": sum_regret})
         else:
             with open(self.workdir / "snapshots.jsonl", "a") as f:
                 f.write(_json.dumps({

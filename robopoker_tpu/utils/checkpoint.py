@@ -138,6 +138,48 @@ def save_compact(path: str | pathlib.Path, table: InfoTable,
     save_compact_dict(path, fetch_compact(table), config)
 
 
+def save_table_from_compact(path: str | pathlib.Path, d: dict,
+                            config: RunConfig,
+                            extra: dict | None = None) -> None:
+    """Write the DENSE resume checkpoint from a fetch_compact() dict —
+    reconstructed host-side (zeros + row fill), exactly what a device
+    fetch would produce but without shipping the dense [2^23, 9] arrays
+    through the MB/s tunnel a second time (~10-20 min at production
+    table sizes)."""
+    t = int(d["capacity"])
+    rows = d["rows"]
+    payload = {"epoch": np.asarray(d["epoch"])}
+    for name, cols, dtype in (
+        ("regret", 9, np.float32), ("weight", 9, np.float32),
+        ("payoff", 9, np.float32), ("visits", 0, np.int32),
+        ("key_lo", 0, np.int32), ("key_hi", 0, np.int32),
+        ("bucket", 0, np.int32), ("choices", 0, np.int32),
+    ):
+        a = np.zeros((t, cols) if cols else (t,), dtype)
+        a[rows] = d[name]
+        payload[name] = a
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".npz")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez_compressed(f, fingerprint=config.fingerprint(), **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    log = path.parent / "snapshots.jsonl"
+    with open(log, "a") as f:
+        f.write(json.dumps({
+            "time": time.time(),
+            "epoch": int(payload["epoch"]),
+            "file": path.name,
+            "fingerprint": config.fingerprint(),
+            "touched_rows": int(len(rows)),
+            **(extra or {}),
+        }) + "\n")
+
+
 def load_compact(path: str | pathlib.Path, config: RunConfig) -> InfoTable:
     """Reconstruct the dense InfoTable from a compact checkpoint."""
     import jax.numpy as jnp
