@@ -71,6 +71,19 @@ def main(argv=None):
     t.add_argument("--abstraction", default=None,
                    help="dir with turn.npz/flop.npz → LookupBucket "
                         "(default: proxy buckets)")
+    t.add_argument("--warmstart-bias", action="store_true",
+                   help="seed fresh infoset rows' legal columns with the "
+                        "reference's warmstart bias weights (~50/25/25 "
+                        "fold/call/raise, shove unseeded; ref: "
+                        "crates/kicker/src/bias.rs — the reference's "
+                        "production default is ACTIVE bias)")
+    t.add_argument("--no-adaptive-caps", action="store_true",
+                   help="disable in-run emit re-measurement + cap-widening "
+                        "recompiles (drop-rate creep returns; see "
+                        "FastSession.adaptive_caps)")
+    t.add_argument("--drop-rate", type=float, default=0.005,
+                   help="marginal dropped-nodes rate that triggers an "
+                        "adaptive cap-widening recompile")
     t.add_argument("--flush-min", type=float, default=30.0,
                    help="snapshot cadence in minutes (each flush also "
                         "appends an epoch-stamped compact checkpoint "
@@ -139,6 +152,8 @@ def main(argv=None):
             run_kw["run"] = RunConfig(bucket=f"lookup:{args.abstraction}")
         from .pokerkit.hyperparams import TrainingHyperParams
 
+        from .pokerkit.hyperparams import BiasHyperParams
+
         session = FastSession(
             workdir=args.workdir,
             **run_kw,
@@ -148,14 +163,22 @@ def main(argv=None):
                 batch=args.batch, table_log2=args.table_log2,
                 work_cap=args.work_cap, cap=args.cap,
                 max_levels=args.max_levels,
+                # --parity derives caps from the emit profiles inside
+                # make_parity_steps (so adaptive widening stays the
+                # single source of truth); --segmented without parity
+                # still pins explicit caps here
                 level_caps=(segmented_caps(args.batch, args.max_levels,
                                            margin=args.cap_margin)
-                            if args.segmented or args.parity else None),
+                            if args.segmented and not args.parity else None),
+                warmstart_bias=(BiasHyperParams() if args.warmstart_bias
+                                else None),
             ),
             bucket_fn=bucket,
             mesh=mesh,
             parity_steps=args.parity,
             cap_margin=args.cap_margin,
+            adaptive_caps=not args.no_adaptive_caps,
+            adaptive_drop_rate=args.drop_rate,
         )
         session.train(args.epochs)
         return 0

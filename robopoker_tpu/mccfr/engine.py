@@ -209,7 +209,8 @@ def make_step(
                     eu = jax.vmap(jax.random.uniform)(
                         jax.vmap(jax.random.fold_in, (None, 0))(key_tree, salt + 2 * n)
                     )
-                    no_prune = (t < sampling.warmup) | (eu < sampling.explore)
+                    no_prune = (t < sampling.warmup_epochs(batch_size)) | (
+                        eu < sampling.explore)
                     walker_mask = jnp.where(no_prune[:, None], S.branch_valid, keep)
                 else:  # PRUNABLE: deterministic RBP, no warmup/explore
                     walker_mask = keep

@@ -51,12 +51,26 @@ class FastSession:
     mesh: object = None          # jax Mesh → data-parallel step
     parity_steps: bool = False   # walker-parity-specialized compiled steps
     cap_margin: float = 1.4      # emit-profile headroom (see make_parity_steps)
+    # Adaptive level caps (parity_steps only): trees WIDEN as the
+    # strategy sharpens, so any launch-time emit profile eventually
+    # under-provisions and drops nodes (biased coverage loss — always
+    # the widest trees; VERDICT r2 weak #3). The session tracks the
+    # in-run ``level_emit`` peak per parity and, when the marginal drop
+    # rate over a window exceeds ``adaptive_drop_rate``, recompiles the
+    # parity pair with caps widened to observed-peak × growth × margin.
+    # Unchanged-parity programs rebuild from the persistent compile
+    # cache in seconds; a genuinely widened program pays one compile.
+    adaptive_caps: bool = True
+    adaptive_drop_rate: float = 0.005   # marginal drops/node that trigger
+    adaptive_window: int = 128          # epochs per drop-rate check
+    adaptive_growth: float = 1.15       # headroom over observed peak
 
     def __post_init__(self):
         self.workdir = pathlib.Path(self.workdir)
         self.ckpt = self.workdir / "blueprint.npz"
         self.metrics = Metrics(log_interval_s=self.training_hp.log_interval_s)
         bucket = self.bucket_fn or proxy_bucket
+        self._bucket = bucket
         if self.mesh is not None:
             from ..parallel.train import make_sharded_nlhe_step
 
@@ -65,11 +79,20 @@ class FastSession:
                 self.mesh, self.trainer,
             )
         elif self.parity_steps:
-            from .trainer import make_parity_steps
+            from .trainer import EMIT_PROFILE, EMIT_PROFILE_EVEN, make_parity_steps
 
+            ml = self.trainer.max_levels
+            self._profiles = [
+                np.asarray(EMIT_PROFILE_EVEN[:ml], np.float64),
+                np.asarray(EMIT_PROFILE[:ml], np.float64),
+            ]
+            self._peak_emit = [np.zeros(ml), np.zeros(ml)]
+            self._win_drop = self._win_nodes = self._win_n = 0
+            self._recompiles = 0
             self._parity_pair = make_parity_steps(
                 bucket, self.regret, self.weight, self.sampling, self.trainer,
                 margin=self.cap_margin,
+                profiles=tuple(tuple(p) for p in self._profiles),
             )
             self.step = self._dispatch_parity
         else:
@@ -100,6 +123,68 @@ class FastSession:
         step = self._parity_pair[self._epoch_host % 2]
         self._epoch_host += 1
         return step(table, key)
+
+    def _adaptive_observe(self, m) -> None:
+        """Track in-run emission peaks; widen caps when drops exceed the
+        threshold over a window. Piggybacks on the per-epoch metrics
+        host sync — adds no device round-trips of its own."""
+        par = (self._epoch_host - 1) % 2   # parity of the step just run
+        emit = np.asarray(m["level_emit"], np.float64) / self.trainer.batch
+        self._peak_emit[par] = np.maximum(self._peak_emit[par], emit)
+        self._win_drop += int(m["dropped"])
+        self._win_nodes += int(m["nodes"])
+        self._win_n += 1
+        if self._win_n < self.adaptive_window:
+            return
+        rate = self._win_drop / max(self._win_nodes, 1)
+        self._win_drop = self._win_nodes = self._win_n = 0
+        if rate <= self.adaptive_drop_rate:
+            return
+        self._widen_caps(rate)
+
+    def _widen_caps(self, rate: float) -> None:
+        """Recompile the parity pair with caps covering the OBSERVED
+        emission peak (× growth × cap_margin). No-op when the drop
+        source is not the level caps (per-tree slot cap / probe ladder
+        — widening worklists cannot fix those)."""
+        import dataclasses as _dc
+
+        from .trainer import make_parity_steps, segmented_caps
+
+        new_profiles = []
+        for par in (0, 1):
+            prof = np.maximum(
+                self._profiles[par],
+                np.ceil(self._peak_emit[par] * self.adaptive_growth),
+            )
+            new_profiles.append(prof)
+        B, ml = self.trainer.batch, self.trainer.max_levels
+        caps = lambda prof: segmented_caps(
+            B, ml, margin=self.cap_margin, profile=tuple(prof))
+        base = _dc.replace(self.trainer, level_caps=None)
+        old_caps = [caps(p) for p in self._profiles]
+        new_caps = [caps(p) for p in new_profiles]
+        if new_caps == old_caps:
+            print(f"adaptive caps: drop rate {rate:.2%} but level caps "
+                  f"already cover the observed peak — drops are slot-cap "
+                  f"or ladder bound, not widening")
+            return
+        self._profiles = new_profiles
+        self._recompiles += 1
+        print(f"adaptive caps: drop rate {rate:.2%} > "
+              f"{self.adaptive_drop_rate:.2%} — recompiling with widened "
+              f"caps (#{self._recompiles}) even={new_caps[0]} "
+              f"odd={new_caps[1]}", flush=True)
+        t0 = time.monotonic()
+        self._parity_pair = make_parity_steps(
+            self._bucket, self.regret, self.weight, self.sampling, base,
+            margin=self.cap_margin,
+            profiles=tuple(tuple(p) for p in new_profiles),
+        )
+        self.metrics.inc("mccfr_cap_recompiles")
+        print(f"adaptive caps: rebuilt parity pair in "
+              f"{time.monotonic() - t0:.0f}s (compile is lazy — next "
+              f"two epochs pay it)", flush=True)
 
     def snapshot(self, dense: bool = False) -> None:
         """Flush checkpoints. Periodic flushes write compact files only
@@ -162,6 +247,9 @@ class FastSession:
                 self.metrics.inc("mccfr_dropped", int(m["dropped"]))
             if "fallbacks" in m:
                 self.metrics.inc("mccfr_fallbacks", int(m["fallbacks"]))
+            if (self.adaptive_caps and self.parity_steps
+                    and self.mesh is None and "level_emit" in m):
+                self._adaptive_observe(m)
             if self.metrics.maybe_log() is not None:
                 # sum-regret reduces on device; only the scalar crosses the
                 # (slow) host link, and only at log cadence

@@ -386,7 +386,12 @@ def make_nlhe_step(
                 if sampling.scheme == PLURIBUS:
                     eu = jax.random.uniform(jax.random.fold_in(lkey, 5),
                                             (w_in,))
-                    no_prune = (t < sampling.warmup) | (eu < sampling.explore)
+                    # warmup compares TREES sampled, not raw epochs: our
+                    # epochs are B trees wide vs the reference's 128
+                    # (pruning.rs:45-51), so the threshold is rescaled
+                    # per-batch by warmup_epochs()
+                    no_prune = (t < sampling.warmup_epochs(B)) | (
+                        eu < sampling.explore)
                     branch = jnp.where(no_prune[:, None], legal, keep)
                 else:
                     branch = keep
@@ -791,7 +796,7 @@ def make_nlhe_step(
 
 def make_parity_steps(bucket_fn, regret_schedule, weight_schedule, sampling,
                       config: TrainerConfig = TrainerConfig(),
-                      margin: float = 1.4, **kw):
+                      margin: float = 1.4, profiles=None, **kw):
     """(step_even, step_odd): walker-parity-specialized epoch steps.
 
     The caller dispatches on ``epoch % 2`` (the walker seat). Even-walker
@@ -802,17 +807,25 @@ def make_parity_steps(bucket_fn, regret_schedule, weight_schedule, sampling,
     ``margin``: headroom over the measured emit profile. The profile is
     measured on a FRESH table; trees widen as the strategy sharpens
     (measured: marginal drop rate climbing 0.1% → 2% over the first 400
-    epochs at margin 1.4), so production runs want 1.8-2.0.
+    epochs at margin 1.4), so production runs want 1.8-2.0 — or adaptive
+    caps (forge.FastSession re-measures level_emit in-run and recompiles
+    with widened caps when marginal drops exceed its threshold).
+
+    ``profiles``: optional ``(even_profile, odd_profile)`` emit/tree
+    tuples overriding the module constants — the hook the adaptive-cap
+    recompile path uses to widen from OBSERVED in-run emission.
     """
+    even_prof, odd_prof = profiles or (EMIT_PROFILE_EVEN, EMIT_PROFILE)
     even = dataclasses.replace(
         config,
         level_caps=segmented_caps(config.batch, config.max_levels,
-                                  margin=margin, profile=EMIT_PROFILE_EVEN),
+                                  margin=margin, profile=even_prof),
     )
     odd = dataclasses.replace(
         config,
         level_caps=config.level_caps
-        or segmented_caps(config.batch, config.max_levels, margin=margin),
+        or segmented_caps(config.batch, config.max_levels, margin=margin,
+                          profile=odd_prof),
     )
     return (
         make_nlhe_step(bucket_fn, regret_schedule, weight_schedule,

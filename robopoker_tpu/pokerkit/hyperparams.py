@@ -47,7 +47,11 @@ class TrainingHyperParams:
 class PruningHyperParams:
     threshold: float = -3e5    # prune actions with cum regret below this
     explore: float = 0.05      # probability of exploring all branches anyway
-    warmup: int = 16_384       # epochs before pruning begins
+    # The reference's 16,384-epoch warmup is 16,384 × 128 trees/epoch
+    # (pruning.rs:45-51); our epochs are batch-sized, so the portable
+    # quantity is trees — SamplingConfig.warmup_epochs(batch) rescales.
+    warmup: int = 16_384       # reference epochs (128 trees each)
+    warmup_trees: int = 2_097_152
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--table-log2", type=int, default=20)
     ap.add_argument("--cap", type=int, default=4096,
                     help="per-tree slot cap (generous: nothing may clip)")
+    ap.add_argument("--workdir", default=None,
+                    help="resume the profiling run from this workdir's "
+                         "blueprint_compact.npz — measures the emit "
+                         "profile under the CURRENT strategy (trees "
+                         "widen as the strategy sharpens; a fresh-table "
+                         "profile under-provisions long trains)")
     args = ap.parse_args()
 
     import jax
@@ -46,9 +52,19 @@ def main():
                         cap=args.cap, table_log2=args.table_log2)
     step = make_nlhe_step(bucket, LINEAR_REGRET, LINEAR_WEIGHT,
                           PLURIBUS_SAMPLING, cfg)
-    table = init_table(args.table_log2)
+    if args.workdir:
+        from robopoker_tpu.pokerkit.regime import RunConfig
+        from robopoker_tpu.utils.checkpoint import load_compact
+
+        run = RunConfig(bucket=f"lookup:{args.abstraction}")
+        table = load_compact(
+            pathlib.Path(args.workdir) / "blueprint_compact.npz", run)
+        print(f"profiling from checkpoint epoch {int(table.epoch)}")
+    else:
+        table = init_table(args.table_log2)
     key = jax.random.PRNGKey(0)
 
+    epoch0 = int(table.epoch)  # walker parity follows the DEVICE epoch
     peaks = {0: None, 1: None}  # parity -> [max_levels] peak emits
     drops = 0
     t0 = time.time()
@@ -56,7 +72,7 @@ def main():
         table, m = step(table, jax.random.fold_in(key, t))
         emit = np.asarray(m["level_emit"], np.float64) / args.batch
         drops += int(m["dropped"])
-        par = t % 2
+        par = (epoch0 + t) % 2
         peaks[par] = emit if peaks[par] is None else np.maximum(peaks[par], emit)
         print(f"epoch {t} (walker {par}): emit/tree "
               f"{np.round(emit, 1).tolist()} dropped {int(m['dropped'])} "
