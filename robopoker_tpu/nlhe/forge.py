@@ -216,15 +216,19 @@ class FastSession:
             # to a device fetch, without re-shipping the dense arrays
             save_table_from_compact(self.ckpt, d, self.run,
                                     extra={"sum_regret": sum_regret})
-        else:
-            with open(self.workdir / "snapshots.jsonl", "a") as f:
-                f.write(_json.dumps({
-                    "time": time.time(), "epoch": int(d["epoch"]),
-                    "file": "blueprint_compact.npz",
-                    "fingerprint": self.run.fingerprint(),
-                    "touched_rows": int(len(d["rows"])),
-                    "sum_regret": sum_regret,
-                }) + "\n")
+        # log the COMPACT filename even for the dense exit save: the
+        # dense blueprint.npz is gitignored, so across sessions only the
+        # compact twin exists and the log must point at a real file
+        # (ADVICE r2 #3)
+        with open(self.workdir / "snapshots.jsonl", "a") as f:
+            f.write(_json.dumps({
+                "time": time.time(), "epoch": int(d["epoch"]),
+                "file": "blueprint_compact.npz",
+                **({"dense": "blueprint.npz"} if dense else {}),
+                "fingerprint": self.run.fingerprint(),
+                "touched_rows": int(len(d["rows"])),
+                "sum_regret": sum_regret,
+            }) + "\n")
         self.metrics.set("mccfr_flush_duration", time.monotonic() - t0)
         self.metrics.set("mccfr_sum_regret", sum_regret)
 

@@ -128,6 +128,14 @@ def expand(doc: dict) -> list[dict]:
             inst = {k: v for k, v in fam.items() if k not in ("matrix", "name_template")}
             inst.update(dict(zip(keys, combo)))
             inst["name"] = fam["name_template"].format(**dict(zip(keys, combo)))
+            # matrix axes the template doesn't mention still distinguish
+            # cases — append them so duplicate-named rows in generated
+            # reports stay identifiable (ADVICE r2 #1: two '3-bet sizes
+            # exist …' rows differing only in the raise-size edge)
+            extra = [f"{k}={v}" for k, v in zip(keys, combo)
+                     if "{" + k + "}" not in fam["name_template"]]
+            if extra:
+                inst["name"] += " [" + ", ".join(extra) + "]"
             cases.append(inst)
     return cases
 
