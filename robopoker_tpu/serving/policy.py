@@ -243,19 +243,25 @@ class Fish:
 
 
 def zoo(blueprint: Blueprint) -> dict:
-    """The 8-cell variant cube: {depth/world resolve} × {dirac/sample},
-    plus the raw blueprint (ref: zoo.rs:57, README Benchmarks table).
+    """The full variant cube keyed by canonical labels: every
+    {depth, world, dirac} cell plus fish (ref: zoo.rs:57,
+    pokerkit/src/variant.rs:130-143, README Benchmarks table).
 
-    Depth-only vs world+depth share the resolver here (the resolver is
-    world-partitioned and depth-limited by construction); the distinction
-    the reference draws is which wrappers are active — exposed as the
-    same labels for benchmark parity.
+    Any cell with depth or world active routes through the Resolver
+    (which is world-partitioned and depth-limited by construction); the
+    distinction the reference draws is which wrappers are active —
+    exposed as the same labels for benchmark parity. Keys match
+    ``pokerkit.variant.Variant.label`` exactly, so serving endpoints can
+    translate identities (username/UUID) straight from the cube.
     """
+    from ..pokerkit.variant import Variant
+
     res = Resolver(blueprint)
-    return {
-        "fish": Fish(),
-        "base": Agent(blueprint, use_dirac=False),
-        "dirac": Agent(blueprint, use_dirac=True),
-        "depth+world": Agent(res, use_dirac=False),
-        "depth+world+dirac": Agent(res, use_dirac=True),
-    }
+    out = {}
+    for v in Variant.all():
+        if not v.is_bot:
+            out[v.label] = Fish()
+        else:
+            policy = res if (v.depth or v.world) else blueprint
+            out[v.label] = Agent(policy, use_dirac=v.dirac)
+    return out

@@ -20,7 +20,7 @@ COUNTERS = (
     "mccfr_steps", "mccfr_nodes", "mccfr_infos",
     # coverage-loss accounting: worklist entries dropped at a level cap
     # (bias risk if >~1% of nodes) and probe-ladder exhaustions
-    "mccfr_dropped", "mccfr_fallbacks",
+    "mccfr_dropped", "mccfr_fallbacks", "mccfr_cap_recompiles",
     "kmeans_iterations", "subgame_decisions", "subgame_iterations",
     "http_requests", "db_ops", "slumbot_hands",
 )
@@ -38,6 +38,12 @@ class Metrics:
     log_interval_s: float = 60.0
 
     def __post_init__(self):
+        if self.sink is None:
+            # env-driven exporters (TensorBoard event files / OTLP JSON;
+            # ref: vitals/src/lib.rs:71-78) — None unless configured
+            from .sinks import sink_from_env
+
+            self.sink = sink_from_env()
         self.counters = {k: 0 for k in COUNTERS}
         self.gauges = {k: 0.0 for k in GAUGES}
         self._t0 = time.monotonic()

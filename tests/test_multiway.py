@@ -190,6 +190,22 @@ def test_tenmax_smoke():
 HIGH, PAIR, TWOPAIR, TRIPS, NUTS = 10, 20, 30, 40, 50
 
 
+def test_golden_heads_up_showdown():
+    r = tiered_rewards([100, 100], [False, False], [HIGH, PAIR])
+    assert r == [0, 200]
+
+
+def test_golden_singular_all_in_with_side_pot():
+    r = tiered_rewards([50, 100, 100], [False] * 3, [TWOPAIR, PAIR, HIGH])
+    assert r == [150, 100, 0]
+
+
+def test_golden_last_man_standing():
+    r = tiered_rewards([50, 100, 75, 25], [True, False, True, True],
+                       [NUTS, HIGH, NUTS, NUTS])
+    assert r == [0, 250, 0, 0]
+
+
 def test_golden_winners_folded():
     r = tiered_rewards([50, 100, 75, 100],
                        [True, False, True, False],
