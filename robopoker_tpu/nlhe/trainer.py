@@ -91,17 +91,20 @@ class TrainerConfig:
 # per-tree children emitted at each level, measured UNCLIPPED (generous
 # caps) during the pluribus warmup phase (full branching — the widest
 # case) via the level_emit metric; margin covers epoch-to-epoch variance.
-# Round-2 re-measurement under the EXHAUSTIVE artifacts
-# (scripts/profile_emit.py; round 1 profiled on the 300k artifacts and
-# dropped ~3% of nodes in production) — values are the element-wise max
-# of both measurements, and the default margin widened 1.25 → 1.4: the
-# drop rate is coverage loss and lanes are cheaper than bias.
+# Values are the element-wise max over every measurement epoch so far:
+# round-2 re-measured under the EXHAUSTIVE artifacts; round-3 re-measured
+# FROM THE ep3199 CHECKPOINT (scripts/profile_emit.py --workdir — trees
+# reshape as the strategy sharpens: the r3 measurement found the EVEN
+# parity had outgrown its launch profile at levels 4-6 (59/31/5 vs
+# 36/12/3 provisioned) — exactly the round-2 drop-rate creep — while the
+# odd parity NARROWED). Launch-time profiles are a floor; in-run
+# widening is handled by FastSession's adaptive caps.
 EMIT_PROFILE = (7.0, 17.0, 33.0, 69.0, 118.0, 115.0, 56.0, 8.0)
 # walker parity changes the tree shape drastically: epochs where the
 # walker is seat 0 (the SB/dealer, even t) terminate much earlier —
-# their frontier peaks ~3x narrower. A parity-specialized pair of
+# their frontier peaks narrower. A parity-specialized pair of
 # compiled steps exploits this (see make_parity_steps).
-EMIT_PROFILE_EVEN = (7.0, 17.0, 28.0, 42.0, 36.0, 12.0, 3.0, 1.0)
+EMIT_PROFILE_EVEN = (7.0, 17.0, 29.0, 51.0, 59.0, 31.0, 5.0, 1.0)
 
 
 def segmented_caps(batch: int, max_levels: int = 8,

@@ -188,3 +188,137 @@ class Aivat:
 
 def _phi(x: float) -> float:
     return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+
+
+# --- batched self-play AIVAT -------------------------------------------------
+#
+# The replay path above mirrors the reference's per-recorded-hand walk
+# (aivat.rs evaluate) — fine for UI hand queries, hopeless for measuring
+# the variance reduction on 10k+ hands. This path is the TPU-native
+# formulation: a [N]-lane lockstep rollout (same shape as serving/lbr.py)
+# where BOTH seats sample the blueprint's averaged policy and every
+# correction term is computed batched at generation time — action
+# corrections as [N, 9] row gathers, chance corrections as a [52·N]
+# forced-deal enumeration — so no hand is ever replayed.
+
+
+def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
+                     max_steps: int, key):
+    """One jittable batch of n self-play hands.
+
+    Returns (pnl [n], corrected [n], finished [n]) with hero = seat 0.
+    """
+    from ..subgame.posterior import force_deal
+
+    def rows_of(states, m):
+        """(σ, v̂, legal) [m, 9] at each lane's current actor."""
+        idx = G.actor_idx(states)
+        hole = jnp.take_along_axis(
+            states.hole, idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        bucket = bucket_fn(hole.astype(jnp.int32),
+                           states.board.astype(jnp.int32), states.street)
+        legal = G.legal_cols(states, menu)
+        cmask = (legal * (1 << jnp.arange(N_COLS))).sum(1).astype(jnp.int32)
+        klo, khi = make_key(bucket, G.packed_subgame(states), cmask)
+        row, _ = probe_rows(table.key_lo, table.key_hi, klo, khi)
+        sigma = averaged(table.weight[row], legal)
+        return sigma, table.payoff[row], legal
+
+    states = G.root(key, n)
+
+    def body(i, carry):
+        states, corr = carry
+        k = jax.random.fold_in(key, 1000 + i)
+        t = G.turn_of(states)
+
+        # --- chance correction (turn/river single-card deals only) ----
+        nb = (states.board >= 0).sum(axis=1)
+        is_single = (t == G.TURN_CHANCE) & ((nb == 3) | (nb == 4))
+        # enumerate all 52 forced next-cards for every lane (unseen
+        # cards are masked below; [52·n] lanes in one shot)
+        cand = jnp.repeat(jnp.arange(52, dtype=jnp.int64), n)
+        rep = lambda a: jnp.tile(a, (52,) + (1,) * (a.ndim - 1))
+        wide = jax.tree.map(rep, states)
+        deal = jnp.full((52 * n, 3), -1, jnp.int64).at[:, 0].set(cand)
+        forced = force_deal(wide, deal, jnp.tile(is_single, (52,)))
+        sig_f, pay_f, leg_f = rows_of(forced, 52 * n)
+        base = (sig_f * pay_f * leg_f).sum(1).reshape(52, n)    # [52, n]
+        seen = jnp.concatenate(
+            [states.hole.reshape(n, 4), states.board], axis=1)  # [n, 9]
+        # [52, n]: card c still in the deck from lane j's view
+        unseen = ~(jnp.arange(52)[:, None, None]
+                   == seen[None, :, :]).any(-1)
+        n_unseen = jnp.maximum(unseen.sum(0), 1)
+        mean_base = (jnp.where(unseen, base, 0.0).sum(0)) / n_unseen
+
+        states2 = G.deal_board(states, k)
+        dealt = jnp.where(
+            (states2.board >= 0) & (states.board < 0), states2.board, -1
+        ).max(axis=1)                                           # [n]
+        dealt_base = base[jnp.clip(dealt, 0), jnp.arange(n)]
+        # signed for whoever acts next after the deal
+        t_next = G.turn_of(states2)
+        sign = jnp.where(t_next == 0, 1.0, -1.0)
+        chance_corr = jnp.where(
+            is_single, sign * (mean_base - dealt_base), 0.0)
+
+        # --- action corrections + blueprint sampling ------------------
+        t2 = G.turn_of(states2)
+        acting = t2 <= G.TURN_P1
+        sigma, pay, legal = rows_of(states2, n)
+        logits = jnp.where(legal & (sigma > 0),
+                           jnp.log(jnp.maximum(sigma, 1e-20)), -jnp.inf)
+        safe = jnp.where(jnp.isfinite(logits).any(1, keepdims=True),
+                         logits, jnp.where(legal, 0.0, -jnp.inf))
+        col = jax.random.categorical(jax.random.fold_in(k, 7), safe, -1)
+        ev = (sigma * pay * legal).sum(1)
+        taken = jnp.take_along_axis(pay, col[:, None], axis=1)[:, 0]
+        # hero-signed: hero's own transient luck is subtracted, the
+        # villain's mirrored (ref: correction.rs action_correction)
+        sign_a = jnp.where(t2 == 0, 1.0, -1.0)
+        act_corr = jnp.where(acting, sign_a * (ev - taken), 0.0)
+
+        states3 = G.apply_cols(states2, col.astype(jnp.int32), menu, acting)
+        return states3, corr + chance_corr + act_corr
+
+    states, corr = jax.lax.fori_loop(
+        0, max_steps, body, (states, jnp.zeros(n, jnp.float32))
+    )
+    pnl = G.settle(states)[:, 0]
+    finished = G.turn_of(states) == G.TURN_TERMINAL
+    return pnl, pnl + corr, finished
+
+
+def selfplay_delta(table: InfoTable, bucket_fn, n_hands: int = 10_240,
+                   batch: int = 256, seed: int = 0, menu=None,
+                   max_steps: int = 24) -> AivatDelta:
+    """Measured AIVAT variance reduction on blueprint self-play
+    (ref: arena/src/lib.rs:4-5 claims 10-44×). Both seats play the
+    blueprint, so true skill is 0 and every chip of spread is luck the
+    control variates should absorb."""
+    menu = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
+    kern = jax.jit(
+        lambda tbl, key: _selfplay_kernel(tbl, bucket_fn, menu,
+                                          batch, max_steps, key)
+    )
+    raws, cors = [], []
+    n_batches = -(-n_hands // batch)
+    for b in range(n_batches):
+        pnl, corrected, fin = kern(table, jax.random.PRNGKey(seed * 7919 + b))
+        fin = np.asarray(fin)
+        raws.append(np.asarray(pnl)[fin])
+        cors.append(np.asarray(corrected)[fin])
+    raw = np.concatenate(raws).astype(np.float64)
+    corrected = np.concatenate(cors).astype(np.float64)
+    n = len(raw)
+    rm, cm = raw.mean(), corrected.mean()
+    rs = raw.std(ddof=1) / math.sqrt(n) if n > 1 else 0.0
+    cs = corrected.std(ddof=1) / math.sqrt(n) if n > 1 else 0.0
+    var_ratio = (raw.var(ddof=1) / corrected.var(ddof=1)
+                 if n > 1 and corrected.var(ddof=1) > 0 else 1.0)
+    z = cm / cs if cs > 0 else 0.0
+    p = 2.0 * (1.0 - _phi(abs(z)))
+    return AivatDelta(n_hands=n, raw_mean=rm, raw_stderr=rs,
+                      aivat_mean=cm, aivat_stderr=cs,
+                      reduction=var_ratio, pvalue=p)

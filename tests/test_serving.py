@@ -599,3 +599,17 @@ def test_aivat_variance_reduction_on_selfplay(blueprint):
     # the whole point: corrected variance strictly below raw variance
     assert delta.reduction > 1.0, f"no variance reduction: {delta.reduction}"
     assert delta.aivat_stderr < delta.raw_stderr
+
+
+def test_aivat_batched_selfplay_reduction(blueprint):
+    """Batched lockstep self-play AIVAT (aivat.selfplay_delta): zero
+    true skill, corrections absorb luck — reduction > 1 and the
+    corrected mean stays near zero relative to raw spread."""
+    from robopoker_tpu.serving.aivat import selfplay_delta
+
+    d = selfplay_delta(blueprint.table, proxy_bucket, n_hands=256,
+                       batch=64, seed=3)
+    assert d.n_hands > 200
+    assert np.isfinite(d.aivat_mean) and np.isfinite(d.reduction)
+    assert d.reduction > 1.0, f"no variance reduction: {d.reduction}"
+    assert d.aivat_stderr < d.raw_stderr
