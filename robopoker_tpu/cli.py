@@ -114,6 +114,9 @@ def main(argv=None):
     x.add_argument("--rollouts", type=int, default=32)
     x.add_argument("--seed", type=int, default=0)
     x.add_argument("--mode", choices=("fc", "fcpa"), default="fcpa")
+    x.add_argument("--aivat", action="store_true",
+                   help="variance-reduced estimate via AIVAT control "
+                        "variates (blueprint-action + chance terms)")
 
     v = sub.add_parser("serve", help="HTTP strategy/training API (portal)")
     v.add_argument("--port", type=int, default=8080)
@@ -241,7 +244,7 @@ def main(argv=None):
         res = lbr_eval(session.table, bucket or proxy_bucket,
                        n_hands=args.hands, batch=args.batch,
                        n_rollouts=args.rollouts, seed=args.seed,
-                       mode=args.mode)
+                       mode=args.mode, aivat=args.aivat)
         print(json.dumps(res, indent=2))
         return 0
 

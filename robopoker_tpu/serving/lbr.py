@@ -132,14 +132,25 @@ def _range_equity(lbr_hole, board, range_, key, n_rollouts: int):
 
 def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
                   n_rollouts: int = 32, menu: np.ndarray | None = None,
-                  max_steps: int = MAX_STEPS, mode: str = "fcpa"):
+                  max_steps: int = MAX_STEPS, mode: str = "fcpa",
+                  aivat: bool = False):
     """Build the jitted per-batch LBR match: ``play(key, lbr_seat) ->
-    (pnl [N] chips for the LBR seat, done [N])``.
+    (pnl [N] chips for the LBR seat, done [N])`` — or, with
+    ``aivat=True``, ``(pnl, corrected_pnl, done)``.
 
     mode "fc" = fold/call only; "fcpa" also considers a pot-size raise
     and all-in, pricing each by the blueprint's fold response at the
     hypothetical child state (the paper's strongest standard config).
-    """
+
+    ``aivat``: subtract AIVAT control variates from the LBR pnl
+    (ref: crates/arena/src/aivat.rs — the reference applies these to
+    external-opponent play exactly like this). Blueprint-action terms
+    (E_σ[v̂] − v̂(taken), from the blueprint's actual infoset) and
+    turn/river chance terms are zero-mean under the blueprint's own
+    sampling / the uniform deal REGARDLESS of the hero policy, so the
+    corrected estimator stays an unbiased exploitability bound; hero
+    (LBR) action terms are NOT applied — LBR does not follow σ, so they
+    would not be zero-mean (VERDICT r2 next-round #4)."""
     MENU = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
     N = batch
     opp_holes = jnp.asarray(ALL_POCKETS)
@@ -175,6 +186,22 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
         )
         return pol.reshape(N, _N_HOLES, N_COLS), legal
 
+    def actor_rows(states):
+        """(σ, v̂, legal) at each lane's ACTUAL actor hole — the AIVAT
+        baseline rows (same shape as serving/aivat.rows_of)."""
+        idx = G.actor_idx(states)
+        hole = jnp.take_along_axis(
+            states.hole, idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+        bucket = _bound[0](hole.astype(jnp.int32),
+                           states.board.astype(jnp.int32), states.street)
+        legal = G.legal_cols(states, MENU)
+        cmask = (legal * (1 << jnp.arange(N_COLS))).sum(1).astype(jnp.int32)
+        klo, khi = make_key(bucket, G.packed_subgame(states), cmask)
+        row, _ = probe_rows(_tbl[0].key_lo, _tbl[0].key_hi, klo, khi)
+        return (averaged(_tbl[0].weight[row], legal),
+                _tbl[0].payoff[row], legal)
+
     def play_body(key: jnp.ndarray, lbr_seat: jnp.ndarray):
         states = G.root(jax.random.fold_in(key, 1), N)
         lbr_hole = jnp.take_along_axis(
@@ -197,9 +224,41 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
         ).astype(jnp.float32)
 
         def body(i, carry):
-            states, range_ = carry
+            states, range_, corr = carry
             k = jax.random.fold_in(key, 100 + i)
+            if aivat:
+                # turn/river chance correction, computed PRE-deal: the
+                # baseline over all candidate next-cards vs the dealt one
+                # (flop deals skipped like the reference, aivat.rs:151-153)
+                from ..subgame.posterior import force_deal
+
+                t0 = G.turn_of(states)
+                nb = (states.board >= 0).sum(axis=1)
+                is_single = (t0 == G.TURN_CHANCE) & ((nb == 3) | (nb == 4))
+                cand = jnp.repeat(jnp.arange(52, dtype=jnp.int64), N)
+                rep = lambda a: jnp.tile(a, (52,) + (1,) * (a.ndim - 1))
+                wide = jax.tree.map(rep, states)
+                dealv = jnp.full((52 * N, 3), -1, jnp.int64
+                                 ).at[:, 0].set(cand)
+                forced = force_deal(wide, dealv, jnp.tile(is_single, (52,)))
+                sig_f, pay_f, leg_f = actor_rows(forced)
+                base = (sig_f * pay_f * leg_f).sum(1).reshape(52, N)
+                seen = jnp.concatenate(
+                    [states.hole.reshape(N, 4), states.board], axis=1)
+                unseen = ~(jnp.arange(52)[:, None, None]
+                           == seen[None, :, :]).any(-1)        # [52, N]
+                mean_base = (jnp.where(unseen, base, 0.0).sum(0)
+                             / jnp.maximum(unseen.sum(0), 1))
+                pre_board = states.board
             states = G.deal_board(states, k)
+            if aivat:
+                dealt = jnp.where(
+                    (states.board >= 0) & (pre_board < 0), states.board, -1
+                ).max(axis=1)
+                dealt_base = base[jnp.clip(dealt, 0), jnp.arange(N)]
+                sign = jnp.where(G.turn_of(states) == lbr_seat, 1.0, -1.0)
+                corr = corr + jnp.where(
+                    is_single, sign * (mean_base - dealt_base), 0.0)
             board = states.board.astype(jnp.int32)
             range_ = range_ * _collision_mask(board, lbr_hole)
 
@@ -287,16 +346,24 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
                 )
 
             col = jnp.where(is_lbr, lbr_col, bp_col).astype(jnp.int32)
+            if aivat:
+                # blueprint-action control variate from ITS actual
+                # infoset: E_σ[v̂] − v̂(taken), negated for the hero
+                sig_a, pay_a, leg_a = actor_rows(states)
+                ev_a = (sig_a * pay_a * leg_a).sum(1)
+                taken = jnp.take_along_axis(
+                    pay_a, col[:, None], axis=1)[:, 0]
+                corr = corr - jnp.where(is_bp, ev_a - taken, 0.0)
             # blueprint action updates its range by its own policy mass
             picked = jnp.take_along_axis(polh, col[:, None, None], axis=2)[
                 :, :, 0
             ]                                                   # [N, 1326]
             range_ = jnp.where(is_bp[:, None], range_ * picked, range_)
             states = G.apply_cols(states, col, MENU, acting)
-            return states, range_
+            return states, range_, corr
 
-        states, range_ = jax.lax.fori_loop(
-            0, max_steps, body, (states, range_)
+        states, range_, corr = jax.lax.fori_loop(
+            0, max_steps, body, (states, range_, jnp.zeros(N, jnp.float32))
         )
         states = G.deal_board(states, jax.random.fold_in(key, 999))
         done = G.turn_of(states) == G.TURN_TERMINAL
@@ -304,7 +371,10 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
         lbr_pnl = jnp.take_along_axis(
             pnl, lbr_seat[None, None].astype(jnp.int32).repeat(N, 0), axis=1
         )[:, 0]
-        return jnp.where(done, lbr_pnl, 0.0), done
+        lbr_pnl = jnp.where(done, lbr_pnl, 0.0)
+        if aivat:
+            return lbr_pnl, lbr_pnl + corr, done
+        return lbr_pnl, done
 
     btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
 
@@ -324,26 +394,35 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
 
 def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
              batch: int = 64, n_rollouts: int = 32, seed: int = 0,
-             menu: np.ndarray | None = None, mode: str = "fcpa") -> dict:
+             menu: np.ndarray | None = None, mode: str = "fcpa",
+             aivat: bool = False) -> dict:
     """Play `n_hands` (half from each seat) and report the LBR winrate —
-    a lower bound on blueprint exploitability — in mbb/hand."""
+    a lower bound on blueprint exploitability — in mbb/hand.
+
+    ``aivat=True`` additionally reports the AIVAT-corrected estimate
+    (same mean in expectation, far lower variance): use
+    ``lbr_mbb_per_hand_aivat`` ± ``stderr_mbb_aivat`` for checkpoint
+    ordering; ``aivat_reduction`` is the measured variance ratio."""
     play = make_lbr_play(table, bucket_fn, batch=batch,
-                         n_rollouts=n_rollouts, menu=menu, mode=mode)
+                         n_rollouts=n_rollouts, menu=menu, mode=mode,
+                         aivat=aivat)
     key = jax.random.PRNGKey(seed)
-    chips, finished = [], 0
+    chips, cchips, finished = [], [], 0
     n_batches = max(1, n_hands // batch)
     for b in range(n_batches):
-        pnl, done = play(jax.random.fold_in(key, b),
-                         jnp.int32(b % 2))
+        out = play(jax.random.fold_in(key, b), jnp.int32(b % 2))
+        pnl, done = out[0], out[-1]
         pnl = np.asarray(pnl)
         done = np.asarray(done)
         chips.append(pnl[done])
+        if aivat:
+            cchips.append(np.asarray(out[1])[done])
         finished += int(done.sum())
     chips = np.concatenate(chips) if chips else np.zeros(0)
     # B_BLIND = 2 chips = 1 big blind
     mbb = chips / 2.0 * 1000.0
     n = max(len(mbb), 1)
-    return {
+    res = {
         "mode": mode,
         "hands": int(len(mbb)),
         "unfinished": int(n_batches * batch - finished),
@@ -351,3 +430,12 @@ def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
         "stderr_mbb": float(mbb.std(ddof=1) / np.sqrt(n)) if len(mbb) > 1
         else 0.0,
     }
+    if aivat:
+        cm = np.concatenate(cchips) / 2.0 * 1000.0 if cchips else np.zeros(0)
+        res["lbr_mbb_per_hand_aivat"] = float(cm.mean()) if len(cm) else 0.0
+        res["stderr_mbb_aivat"] = (
+            float(cm.std(ddof=1) / np.sqrt(n)) if len(cm) > 1 else 0.0)
+        res["aivat_reduction"] = (
+            float(mbb.var(ddof=1) / cm.var(ddof=1))
+            if len(cm) > 1 and cm.var(ddof=1) > 0 else 1.0)
+    return res

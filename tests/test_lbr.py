@@ -73,3 +73,38 @@ def test_lbr_deterministic():
     b = lbr_eval(table, proxy_bucket, n_hands=16, batch=16,
                  n_rollouts=4, seed=3)
     assert a == b
+
+
+def test_lbr_aivat_correction():
+    """AIVAT-corrected LBR: corrected mean finite, variance reduced
+    (blueprint-action + chance control variates are zero-mean, so the
+    bound's expectation is unchanged). Needs a lightly TRAINED table —
+    an untrained table has zero payoff baselines, so every correction
+    degenerates to 0 and no reduction is possible."""
+    import jax
+
+    from robopoker_tpu.mccfr import (LINEAR_REGRET, LINEAR_WEIGHT,
+                                     PLURIBUS_SAMPLING)
+    from robopoker_tpu.nlhe import TrainerConfig, make_nlhe_step
+
+    cfg = TrainerConfig(batch=8, level_cap=32, cap=128, max_levels=3,
+                        roll_steps=4, tail_steps=8, table_log2=14)
+    step = make_nlhe_step(proxy_bucket, LINEAR_REGRET, LINEAR_WEIGHT,
+                          PLURIBUS_SAMPLING, cfg)
+    table = init_table(14)
+    for _ in range(4):
+        table, _ = step(table, jax.random.PRNGKey(0))
+
+    res = lbr_eval(table, proxy_bucket, n_hands=192, batch=64,
+                   n_rollouts=8, seed=2, mode="fc", aivat=True)
+    assert res["hands"] > 150
+    assert np.isfinite(res["lbr_mbb_per_hand_aivat"])
+    assert res["aivat_reduction"] > 0.0
+    # zero-mean corrections: the corrected estimate must agree with the
+    # raw one within a few joint standard errors (unbiasedness); whether
+    # variance actually SHRINKS depends on baseline (payoff-column)
+    # quality — meaningful only for production-trained tables, measured
+    # by scripts/aivat_bench.py / the lbr_curve --aivat runs.
+    joint = (res["stderr_mbb"] ** 2 + res["stderr_mbb_aivat"] ** 2) ** 0.5
+    assert abs(res["lbr_mbb_per_hand_aivat"]
+               - res["lbr_mbb_per_hand"]) < 6 * joint
