@@ -175,6 +175,13 @@ class Resolver:
                 jnp.asarray(world), jnp.asarray(ww), key,
             )
             it += 1
+            # jax dispatch is async: without a per-iteration sync the
+            # wall-clock check sees only enqueue time and the loop
+            # overshoots the decision budget by the whole queue depth
+            # (measured 5-7x on the 5 s budget). One scalar sync per
+            # iteration keeps the budget honest at negligible cost
+            # relative to a resolve step.
+            jax.block_until_ready(local.epoch)
         jax.block_until_ready(local)
         policy = harvest_blend(
             local, self.blueprint.table, head,
