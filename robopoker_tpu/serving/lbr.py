@@ -389,7 +389,14 @@ def make_lbr_play(table: InfoTable, bucket_fn, batch: int = 64,
             _bound[0] = bucket_fn
 
     jitted = jax.jit(play_with_args)
-    return lambda key, lbr_seat: jitted(key, lbr_seat, table, btree)
+    fn = lambda key, lbr_seat: jitted(key, lbr_seat, table, btree)
+    # introspection hook: call ``fn.jitted(key, seat, other_table,
+    # *fn.extra_args)`` to evaluate a DIFFERENT checkpoint through the
+    # same compiled program (the table threads through as an argument,
+    # so curve runners pay one compile for the whole snapshot history)
+    fn.jitted = jitted
+    fn.extra_args = (btree,)
+    return fn
 
 
 def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
