@@ -73,11 +73,7 @@ def _straight_high(ranks):
     return jnp.where(hi >= 0, hi, jnp.where(is_wheel, WHEEL_HIGH, -1))
 
 
-def _strength_kernel(s_ref, out_ref):
-    s0 = s_ref[:, 0]
-    s1 = s_ref[:, 1]
-    s2 = s_ref[:, 2]
-    s3 = s_ref[:, 3]
+def _strength_from_suits(s0, s1, s2, s3):
     ranks = s0 | s1 | s2 | s3
     ge2 = (s0 & s1) | (s0 & s2) | (s0 & s3) | (s1 & s2) | (s1 & s3) | (s2 & s3)
     ge3 = (s0 & s1 & s2) | (s0 & s1 & s3) | (s0 & s2 & s3) | (s1 & s2 & s3)
@@ -133,7 +129,52 @@ def _strength_kernel(s_ref, out_ref):
         _top_k(ranks & ~bit(quad), 1)), out)
     out = jnp.where(has_flush & (sflush_hi >= 0), pack(
         jnp.full_like(ranks, STRAIGHT_FLUSH), sflush_hi, zero, zero), out)
-    out_ref[:] = out
+    return out
+
+
+def _strength_kernel(s_ref, out_ref):
+    out_ref[:] = _strength_from_suits(
+        s_ref[:, 0], s_ref[:, 1], s_ref[:, 2], s_ref[:, 3]
+    )
+
+
+def _settle_kernel(cards_ref, spent_ref, folded_ref, out_ref):
+    """Fused terminal settlement: per-seat suit-mask build + the full
+    strength cascade (twice) + compare + heads-up side-pot PnL, one HBM
+    read of (cards, spent, folded) and one write of pnl — the
+    "settle = evaluate + compare + pnl in one pass" prize named in this
+    module's docstring. Semantics are kicker.game.settle exactly
+    (ref: crates/kicker/src/showdown.rs:18-40)."""
+    codes = []
+    for seat in (0, 1):
+        masks = [jnp.zeros_like(spent_ref[:, 0])] * 4
+        for j in range(7):
+            c = cards_ref[:, seat * 7 + j]
+            valid = c >= 0
+            bit = jnp.where(valid, 1 << jnp.where(valid, c >> 2, 0), 0)
+            suit = jnp.where(valid, c & 3, 0)
+            masks = [
+                jnp.where(suit == s, m | bit, m)
+                for s, m in enumerate(masks)
+            ]
+        codes.append(_strength_from_suits(*masks))
+    win0 = codes[0] > codes[1]
+    tie = codes[0] == codes[1]
+    spent0 = spent_ref[:, 0]
+    spent1 = spent_ref[:, 1]
+    matched = jnp.minimum(spent0, spent1)
+    show_pnl0 = jnp.where(tie, 0, jnp.where(win0, matched, -matched))
+    folded0 = folded_ref[:, 0] != 0
+    folded1 = folded_ref[:, 1] != 0
+    any_fold = folded0 | folded1
+    # fold: survivor wins the loser's entire spend. Winner-is-seat-0
+    # mirrors argmax(~folded) — seat 0 also "wins" the (unreachable)
+    # both-folded row, keeping bit-identity with kicker.game.settle
+    fold_winner0 = ~folded0 | folded1
+    fold_pnl0 = jnp.where(fold_winner0, spent1, -spent0)
+    pnl0 = jnp.where(any_fold, fold_pnl0, show_pnl0).astype(jnp.float32)
+    out_ref[:, 0] = pnl0
+    out_ref[:, 1] = -pnl0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -161,3 +202,52 @@ def strength_pallas(suit_masks: jnp.ndarray) -> jnp.ndarray:
     """
     interpret = jax.default_backend() != "tpu"
     return _strength_pallas(suit_masks, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _settle_pallas(cards, spent, folded, interpret: bool):
+    n = cards.shape[0]
+    pad = (-n) % BLOCK
+    cards = jnp.pad(cards, ((0, pad), (0, 0)), constant_values=-1)
+    spent = jnp.pad(spent, ((0, pad), (0, 0)))
+    folded = jnp.pad(folded, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _settle_kernel,
+        out_shape=jax.ShapeDtypeStruct((cards.shape[0], 2), jnp.float32),
+        grid=(cards.shape[0] // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((BLOCK, 14), lambda i: (i, 0),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
+                         memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
+                               memory_space=pltpu.ANY),
+        interpret=interpret,
+    )(cards, spent, folded)
+    return out[:n]
+
+
+def settle_pallas(state) -> jnp.ndarray:
+    """Fused terminal settlement for a kicker.game.TableState batch:
+    bit-identical to ``kicker.game.settle`` (tested), with the suit-mask
+    build, both seats' strength cascades, the comparison, and the
+    side-pot PnL in ONE kernel — no [B, 2] strength codes or [B, 2, 4]
+    masks ever round-trip HBM."""
+    from ..kicker.game import FOLDING
+
+    B = state.board.shape[0]
+    cards = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [state.hole[:, seat].astype(jnp.int32),
+                 state.board.astype(jnp.int32)], axis=1)
+            for seat in (0, 1)
+        ], axis=1,
+    )  # [B, 14] = seat0 7 cards ++ seat1 7 cards
+    folded = (state.status == FOLDING).astype(jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+    return _settle_pallas(cards, state.spent.astype(jnp.int32), folded,
+                          interpret)
