@@ -313,3 +313,22 @@ def test_lookup_hash_version_roundtrip(tmp_path):
                             jnp.asarray(boards[idx]), street))
     assert ((got >> 8) == 2).all()
     assert ((got & 0xFF) == vals).all()
+
+
+@pytest.mark.parametrize("hole_a,board_a,hole_b,board_b", [
+    # ref: crates/deuce/src/isomorphism.rs named symmetry classes
+    ("2s Ks", "2d 5h 8c Tc Th", "2s Ks", "2h 5c 8d Tc Td"),   # super_symmetry
+    ("Ac Ad", "Jc Ts 5s",       "As Ah", "Js Tc 5c"),          # pocket_rank
+    ("Td As", "Ts Ks Kh",       "Tc Ad", "Td Kd Kh"),          # public_rank
+    ("As Jh", "Ks Js 2d",       "Ah Jd", "Kh Jh 2c"),          # offsuit_backdoor
+    ("As Qh", "Ks Js 2s",       "Ad Qh", "Kd Jd 2d"),          # offsuit_draw
+    ("Ad Kd", "Qd Jd Td",       "As Ks", "Qs Js Ts"),          # monochrome
+    ("Ac Kc", "Qs Js Ts",       "As Ks", "Qh Jh Th"),          # antichrome
+    ("Ac Ks", "Qc Js Ts",       "Ad Kh", "Qd Jh Th"),          # semichrome
+    ("Ac Kd", "Qh Js 9c",       "Ah Ks", "Qc Jd 9h"),          # polychrome
+])
+def test_isomorphism_reference_symmetry_classes(hole_a, board_a,
+                                                hole_b, board_b):
+    a = canonical_key_np(parse_cards(hole_a), parse_cards(board_a))[0]
+    b = canonical_key_np(parse_cards(hole_b), parse_cards(board_b))[0]
+    assert tuple(a) == tuple(b), (hole_a, board_a, hole_b, board_b)
