@@ -76,6 +76,11 @@ class TrainerConfig:
     # seeding — the historical behavior, and the setting every program
     # compiled before this field existed is equivalent to.
     warmstart_bias: object = None  # BiasHyperParams | None
+    # terminal-settlement kernel: "jnp" (XLA-fused cascade) or "pallas"
+    # (ops.evaluator_pallas.settle_pallas — fused suit-mask build +
+    # both strength cascades + compare + pnl in one Mosaic kernel).
+    # Bit-identical (tested); pick by measurement (scripts/bench_settle).
+    settle: str = "jnp"
 
     def __post_init__(self):
         if self.level_cap is not None:
@@ -205,6 +210,11 @@ def make_nlhe_step(
     # compile rejects the program with HTTP 413)
     _bound = [bucket_fn]
 
+    if config.settle == "pallas":
+        from ..ops import settle_pallas as settle_fn
+    else:
+        settle_fn = G.settle
+
     def lookup(states):
         """Infoset identity for the ACTING player of each state."""
         idx = G.actor_idx(states)
@@ -329,7 +339,7 @@ def make_nlhe_step(
         roots, r0 = roll(roots, read, walker, jax.random.fold_in(ekey, 900002))
         t0 = G.turn_of(roots)
         term0 = t0 == G.TURN_TERMINAL
-        pnl0 = G.settle(roots)
+        pnl0 = settle_fn(roots)
         v0 = pnl0[:, walker]
         parent = parent.at[:, 0].set(-1)
         ratio_in = ratio_in.at[:, 0].set(r0)
@@ -471,7 +481,7 @@ def make_nlhe_step(
             st, rr = roll(next_states, read, walker,
                           jax.random.fold_in(lkey, 77))
             term = (G.turn_of(st) == G.TURN_TERMINAL) & next_valid
-            vv = G.settle(st)[:, walker]
+            vv = settle_fn(st)[:, walker]
             csf = jnp.where(next_valid, next_tree * CAP + next_slot, SPILL)
             ratio_in = flat_scat(ratio_in, csf, rr, SPILL)
             reach = flat_scat(reach, csf, next_pr * rr, SPILL)
@@ -543,7 +553,7 @@ def make_nlhe_step(
             include_walker=True, steps=C.tail_steps,
         )
         ttail = G.turn_of(st)
-        vtail = G.settle(st)[:, walker]
+        vtail = settle_fn(st)[:, walker]
         unfinished = work_valid & (ttail != G.TURN_TERMINAL)
         vtail = jnp.where(unfinished, 0.0, vtail)
         slf = jnp.where(work_valid, work_tree * CAP + work_slot, SPILLW)

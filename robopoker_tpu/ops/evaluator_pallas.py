@@ -200,7 +200,9 @@ def strength_pallas(suit_masks: jnp.ndarray) -> jnp.ndarray:
 
     Compiles to Mosaic on TPU; interpreter mode on CPU test backends.
     """
-    interpret = jax.default_backend() != "tpu"
+    # interpret only on the CPU test backend — the remote-TPU platform
+    # registers as "axon", which must take the real Mosaic path
+    interpret = jax.default_backend() == "cpu"
     return _strength_pallas(suit_masks, interpret)
 
 
@@ -248,6 +250,6 @@ def settle_pallas(state) -> jnp.ndarray:
         ], axis=1,
     )  # [B, 14] = seat0 7 cards ++ seat1 7 cards
     folded = (state.status == FOLDING).astype(jnp.int32)
-    interpret = jax.default_backend() != "tpu"
+    interpret = jax.default_backend() == "cpu"
     return _settle_pallas(cards, state.spent.astype(jnp.int32), folded,
                           interpret)
