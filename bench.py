@@ -69,10 +69,13 @@ def main():
     # fresh-table window this bench times.
     FRESH_EVEN = (7.0, 17.0, 28.0, 42.0, 36.0, 12.0, 3.0, 1.0)
     FRESH_ODD = (7.0, 17.0, 33.0, 69.0, 118.0, 115.0, 56.0, 8.0)
+    import os
+
     cfg = TrainerConfig(
         batch=256, work_cap=24576, cap=1536, max_levels=8,
         roll_steps=5, tail_steps=16, table_log2=22,
         level_caps=segmented_caps(256, margin=1.25, profile=FRESH_ODD),
+        settle=os.environ.get("BENCH_SETTLE", "jnp"),
     )
     table = init_table(cfg.table_log2)
     steps = make_parity_steps(

@@ -81,6 +81,9 @@ def main(argv=None):
                    help="disable in-run emit re-measurement + cap-widening "
                         "recompiles (drop-rate creep returns; see "
                         "FastSession.adaptive_caps)")
+    t.add_argument("--settle", choices=("jnp", "pallas"), default="jnp",
+                   help="terminal-settlement kernel (pallas = fused "
+                        "Mosaic evaluate+compare+pnl; bit-identical)")
     t.add_argument("--drop-rate", type=float, default=0.005,
                    help="marginal dropped-nodes rate that triggers an "
                         "adaptive cap-widening recompile")
@@ -175,6 +178,7 @@ def main(argv=None):
                             if args.segmented and not args.parity else None),
                 warmstart_bias=(BiasHyperParams() if args.warmstart_bias
                                 else None),
+                settle=args.settle,
             ),
             bucket_fn=bucket,
             mesh=mesh,
