@@ -41,11 +41,16 @@ def main():
     ap.add_argument("--idle-exit-s", type=float, default=3600.0,
                     help="exit after this long with no new checkpoint")
     ap.add_argument("--out", default="docs/lbr_curve_r3.jsonl")
+    ap.add_argument("--tpu", action="store_true",
+                    help="score on the device (post-train sweep: each "
+                         "16k-hand point is seconds instead of tens of "
+                         "CPU minutes)")
     args = ap.parse_args()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
     from robopoker_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
