@@ -298,10 +298,23 @@ def selfplay_delta(table: InfoTable, bucket_fn, n_hands: int = 10_240,
     blueprint, so true skill is 0 and every chip of spread is luck the
     control variates should absorb."""
     menu = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
-    kern = jax.jit(
-        lambda tbl, key: _selfplay_kernel(tbl, bucket_fn, menu,
-                                          batch, max_steps, key)
-    )
+    # thread lookup tables through jit as ARGUMENTS (closing over a
+    # LookupBucket embeds its device arrays as HLO constants — the
+    # exhaustive artifacts make the program gigabytes; CLAUDE.md round-1)
+    btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
+    _bound = [bucket_fn]
+
+    def kern_inner(tbl, key, bt):
+        if bt is not None:
+            _bound[0] = bucket_fn.bind(bt)
+        try:
+            return _selfplay_kernel(tbl, lambda *a: _bound[0](*a), menu,
+                                    batch, max_steps, key)
+        finally:
+            _bound[0] = bucket_fn
+
+    jitted = jax.jit(kern_inner)
+    kern = lambda tbl, key: jitted(tbl, key, btree)
     raws, cors = [], []
     n_batches = -(-n_hands // batch)
     for b in range(n_batches):
