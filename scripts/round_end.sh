@@ -13,6 +13,11 @@ timeout 2400 python3 scripts/lbr_watch.py --tpu --hands 16384 \
     --rollouts 32 --min-epoch-gap 1200 --idle-exit-s 30 \
     --out docs/lbr_curve_r3_chip.jsonl 2>&1 | tee logs/lbr_chip.log
 
+# 2b. round-1 flagship under the IDENTICAL estimator (fair promote bar)
+timeout 2400 python3 -m robopoker_tpu.cli lbr --workdir artifacts \
+    --abstraction artifacts/abstraction --hands 16384 --batch 256 \
+    --rollouts 32 --mode fc 2>&1 | tee logs/lbr_r1_chip.log
+
 # 3. utilization / roofline at the production config
 timeout 1200 python3 scripts/utilization.py --tpu 2>&1 | tee logs/util_r3.log
 
