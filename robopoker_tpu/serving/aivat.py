@@ -324,7 +324,22 @@ def selfplay_delta(table: InfoTable, bucket_fn, n_hands: int = 10_240,
         cors.append(np.asarray(corrected)[fin])
     raw = np.concatenate(raws).astype(np.float64)
     corrected = np.concatenate(cors).astype(np.float64)
+    # Fitted control-variate coefficient (beyond-reference): the plain
+    # AIVAT estimator pins α = 1 on the zero-mean correction C, which
+    # only reduces variance when the learned baselines are already
+    # strong. α* = −Cov(raw, C)/Var(C) minimizes variance and can never
+    # do worse than raw asymptotically; fitting on the OTHER half keeps
+    # the estimator unbiased (split-sample cross-fitting).
+    C = corrected - raw
     n = len(raw)
+    if n > 3 and C.var(ddof=1) > 0:
+        h = n // 2
+        out = np.empty_like(raw)
+        for (fit, app) in ((slice(0, h), slice(h, None)),
+                           (slice(h, None), slice(0, h))):
+            a = -np.cov(raw[fit], C[fit])[0, 1] / C[fit].var(ddof=1)
+            out[app] = raw[app] + a * C[app]
+        corrected = out
     rm, cm = raw.mean(), corrected.mean()
     rs = raw.std(ddof=1) / math.sqrt(n) if n > 1 else 0.0
     cs = corrected.std(ddof=1) / math.sqrt(n) if n > 1 else 0.0

@@ -439,6 +439,18 @@ def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
     }
     if aivat:
         cm = np.concatenate(cchips) / 2.0 * 1000.0 if cchips else np.zeros(0)
+        # fitted control-variate coefficient, split-sample (see
+        # aivat.selfplay_delta) — α=1 only helps with strong baselines
+        C = cm - mbb
+        n2 = len(cm)
+        if n2 > 3 and C.var(ddof=1) > 0:
+            h = n2 // 2
+            out = np.empty_like(mbb)
+            for (fit, app) in ((slice(0, h), slice(h, None)),
+                               (slice(h, None), slice(0, h))):
+                a = -np.cov(mbb[fit], C[fit])[0, 1] / C[fit].var(ddof=1)
+                out[app] = mbb[app] + a * C[app]
+            cm = out
         res["lbr_mbb_per_hand_aivat"] = float(cm.mean()) if len(cm) else 0.0
         res["stderr_mbb_aivat"] = (
             float(cm.std(ddof=1) / np.sqrt(n)) if len(cm) > 1 else 0.0)
