@@ -135,9 +135,18 @@ def make_resolve_step(
 
     def frontier_value(blueprint: InfoTable, last_row, last_actor, walker,
                        last_legal):
-        """Blueprint V(I) at the nearest decision ancestor, walker-signed."""
+        """Blueprint V(I) at the nearest decision ancestor, walker-signed.
+
+        V(I) = Σ σ̄(a)·v̂(a) over the averaged strategy. With the
+        round-2 payoff semantics (infoset EV replicated per edge —
+        the reference's storage, nash.rs:46-49) this equals the flat
+        legal mean; with round-3 PER-EDGE values the σ̄-weighting is
+        the correct reduction, and it is exact for both."""
+        from ..mccfr.engine import averaged
+
         pay = blueprint.payoff[last_row]
-        v = (pay * last_legal).sum(-1) / jnp.maximum(last_legal.sum(-1), 1)
+        sigma = averaged(blueprint.weight[last_row], last_legal)
+        v = (pay * sigma * last_legal).sum(-1)
         return jnp.where(last_actor == walker, v, -v)
 
     # --- L×L continuation pick game (ref: subgame/src/depth/*) -------------
