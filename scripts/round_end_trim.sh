@@ -7,13 +7,14 @@ set -x
 cd "$(dirname "$0")/.."
 
 # 1. decisive LBR sweep over round-3 snapshots on the chip
-timeout 1500 python3 scripts/lbr_watch.py --tpu --hands 16384 \
+# (32,768 hands -> stderr ~ +/-150 mbb/hand, the VERDICT #4 "done" bar)
+timeout 1500 python3 scripts/lbr_watch.py --tpu --hands 32768 \
     --rollouts 32 --min-epoch-gap 1200 --idle-exit-s 30 \
     --out docs/lbr_curve_r3_chip.jsonl 2>&1 | tee logs/lbr_chip.log
 
 # 1b. round-1 flagship under the IDENTICAL estimator (fair promote bar)
 timeout 1200 python3 -m robopoker_tpu.cli lbr --workdir artifacts \
-    --abstraction artifacts/abstraction --hands 16384 --batch 256 \
+    --abstraction artifacts/abstraction --hands 32768 --batch 256 \
     --rollouts 32 --mode fc 2>&1 | tee logs/lbr_r1_chip.log
 
 # 2. litmus on the final round-3 blueprint (promote decision input)
