@@ -186,10 +186,11 @@ def _strength_pallas(suit_masks: jnp.ndarray, interpret: bool) -> jnp.ndarray:
         _strength_kernel,
         out_shape=jax.ShapeDtypeStruct((x.shape[0],), jnp.int32),
         grid=(x.shape[0] // BLOCK,),
-        in_specs=[pl.BlockSpec((BLOCK, 4), lambda i: (i, 0),
-                               memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,),
-                               memory_space=pltpu.ANY),
+        # default (VMEM) memory space: blocked specs auto-pipeline
+        # HBM->VMEM; pltpu.ANY rejects non-trivial index maps on the
+        # real Mosaic backend (it only lowered in interpret mode)
+        in_specs=[pl.BlockSpec((BLOCK, 4), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,)),
         interpret=interpret,
     )(x)
     return out[:n]
@@ -217,16 +218,13 @@ def _settle_pallas(cards, spent, folded, interpret: bool):
         _settle_kernel,
         out_shape=jax.ShapeDtypeStruct((cards.shape[0], 2), jnp.float32),
         grid=(cards.shape[0] // BLOCK,),
+        # default (VMEM) space — see _strength_pallas note
         in_specs=[
-            pl.BlockSpec((BLOCK, 14), lambda i: (i, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec((BLOCK, 14), lambda i: (i, 0)),
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0)),
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
-                               memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec((BLOCK, 2), lambda i: (i, 0)),
         interpret=interpret,
     )(cards, spent, folded)
     return out[:n]
