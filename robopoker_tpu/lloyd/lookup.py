@@ -67,11 +67,17 @@ class IsoLookup:
             v = jnp.full(n, -1, jnp.int32).at[slots].set(val.astype(jnp.int32))
             return k1, k2, v
 
+        # bucket ids fit in i8/i16 (river equities 0..100, cluster ids
+        # 0..255): ship the narrowest dtype through the MB/s tunnel and
+        # widen on device — ~370 MB less upload for the river street
+        vals = np.asarray(self.value)[occ]
+        vdt = (np.int8 if vals.max() <= 127 else
+               np.int16 if vals.max() <= 32767 else np.int32)
         k1, k2, v = fill(
             jnp.asarray(occ.astype(np.int32)),
             jnp.asarray(np.asarray(self.key1)[occ]),
             jnp.asarray(np.asarray(self.key2)[occ]),
-            jnp.asarray(np.asarray(self.value)[occ].astype(np.int32)),
+            jnp.asarray(vals.astype(vdt)),
             cap,
         )
         return IsoLookup(k1, k2, v, self.probes, self.hash_version)

@@ -79,14 +79,19 @@ def _strength_from_suits(s0, s1, s2, s3):
     ge3 = (s0 & s1 & s2) | (s0 & s1 & s3) | (s0 & s2 & s3) | (s1 & s2 & s3)
     ge4 = s0 & s1 & s2 & s3
 
-    c0 = _popcount(s0)
-    has5 = jnp.stack(
-        [c0 >= 5, _popcount(s1) >= 5, _popcount(s2) >= 5, _popcount(s3) >= 5],
-        axis=-1,
-    )
-    suits = jnp.stack([s0, s1, s2, s3], axis=-1)
-    flush_mask = jnp.where(has5, suits, 0).sum(axis=-1)
-    has_flush = has5.any(axis=-1)
+    # elementwise selects + ors, NOT a [.., 4]-stacked bool reduce: a
+    # bool (i1) minor-axis reduction lowers to an i1->i32 vreg bitcast
+    # that Mosaic rejects ("Invalid vector register cast", seen on the
+    # real chip). At most one suit of 7 cards can hold >=5, so OR of
+    # per-suit selects is bit-identical to the masked sum.
+    h0 = _popcount(s0) >= 5
+    h1 = _popcount(s1) >= 5
+    h2 = _popcount(s2) >= 5
+    h3 = _popcount(s3) >= 5
+    zero32 = jnp.zeros_like(s0)
+    flush_mask = (jnp.where(h0, s0, zero32) | jnp.where(h1, s1, zero32)
+                  | jnp.where(h2, s2, zero32) | jnp.where(h3, s3, zero32))
+    has_flush = h0 | h1 | h2 | h3
 
     straight_hi = _straight_high(ranks)
     sflush_hi = _straight_high(flush_mask)

@@ -32,9 +32,11 @@ aiohttp —
 - GET  /topology/population/{street}/{k}  artifact points in bucket k
 - POST /litmus/run                run the scenario harness
 
-Auth (the reference's bouncer JWT/Argon2 stack) is serving-only infra
-and intentionally out of scope for the solver framework; endpoints are
-unauthenticated here.
+Auth: the reference's bouncer (JWT/Argon2) maps to `serving/auth.py`
+(PBKDF2+HMAC tokens); pass ``members`` to build_app to mount the /auth
+scope. Data endpoints are served open, matching the reference where
+bouncer is a separate reverse-proxy tier in front of portal rather
+than per-route middleware.
 
 Street-attribution note: the reference's `street-stats` joins blueprint
 rows on the stored `present` bucket (ref: portal/src/training/api.rs

@@ -4,6 +4,7 @@
 # logs separately so a straggler can be cut without losing the rest.
 set -x
 cd "$(dirname "$0")/.."
+mkdir -p logs
 
 # 1. headline bench (also warms the compile cache for the driver's run)
 timeout 1500 python3 bench.py 2>&1 | tee logs/bench_r3.log

@@ -5,6 +5,7 @@
 # the window. Full version: round_end.sh.
 set -x
 cd "$(dirname "$0")/.."
+mkdir -p logs
 
 # 1. decisive LBR sweep over round-3 snapshots on the chip
 # (32,768 hands -> stderr ~ +/-150 mbb/hand, the VERDICT #4 "done" bar)
