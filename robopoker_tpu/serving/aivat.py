@@ -228,9 +228,16 @@ def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
     states = G.root(key, n)
 
     def body(i, carry):
-        states, corr = carry
+        states, corr_a, corr_c, lock_nb = carry
         k = jax.random.fold_in(key, 1000 + i)
         t = G.turn_of(states)
+        # lanes whose pot is already LOCKED (everyone live all-in):
+        # no action node can ever occur again, so the remaining deals
+        # are a chance-only suffix. Their luck is corrected EXACTLY at
+        # the end (runout-expectation control variate below); the
+        # per-deal payoff-column baselines here would only add noise
+        # (rows_of probes with no live actor) — gate them off.
+        unlocked = lock_nb < 0
 
         # --- chance correction (turn/river single-card deals only) ----
         nb = (states.board >= 0).sum(axis=1)
@@ -242,8 +249,15 @@ def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
         wide = jax.tree.map(rep, states)
         deal = jnp.full((52 * n, 3), -1, jnp.int64).at[:, 0].set(cand)
         forced = force_deal(wide, deal, jnp.tile(is_single, (52,)))
-        sig_f, pay_f, leg_f = rows_of(forced, 52 * n)
-        base = (sig_f * pay_f * leg_f).sum(1).reshape(52, n)    # [52, n]
+        # baseline B(c) = hero's CHECKDOWN settle given deal c — in
+        # self-play both holes are known, so the showdown-strength shift
+        # each candidate card causes is computable exactly (turn deals
+        # settle as a 6-card strength compare; settle masks the missing
+        # river slot). A fixed measurable function of (state, c), so the
+        # correction stays zero-mean; unlike the payoff-column strategy
+        # EVs it used before (measured reduction 1.006 — pure noise), it
+        # tracks the realized card luck it is meant to absorb.
+        base = G.settle(forced)[:, 0].reshape(52, n)            # [52, n]
         seen = jnp.concatenate(
             [states.hole.reshape(n, 4), states.board], axis=1)  # [n, 9]
         # [52, n]: card c still in the deck from lane j's view
@@ -257,11 +271,11 @@ def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
             (states2.board >= 0) & (states.board < 0), states2.board, -1
         ).max(axis=1)                                           # [n]
         dealt_base = base[jnp.clip(dealt, 0), jnp.arange(n)]
-        # signed for whoever acts next after the deal
-        t_next = G.turn_of(states2)
-        sign = jnp.where(t_next == 0, 1.0, -1.0)
+        # no next-actor sign flip: the checkdown-settle baseline is
+        # hero-valued already (the reference signs because its baseline
+        # is the NEXT ACTOR's strategy EV, ref: aivat.rs:151-170)
         chance_corr = jnp.where(
-            is_single, sign * (mean_base - dealt_base), 0.0)
+            is_single & unlocked, mean_base - dealt_base, 0.0)
 
         # --- action corrections + blueprint sampling ------------------
         t2 = G.turn_of(states2)
@@ -279,15 +293,60 @@ def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
         sign_a = jnp.where(t2 == 0, 1.0, -1.0)
         act_corr = jnp.where(acting, sign_a * (ev - taken), 0.0)
 
-        states3 = G.apply_cols(states2, col.astype(jnp.int32), menu, acting)
-        return states3, corr + chance_corr + act_corr
+        act_corr = act_corr * unlocked
 
-    states, corr = jax.lax.fori_loop(
-        0, max_steps, body, (states, jnp.zeros(n, jnp.float32))
+        states3 = G.apply_cols(states2, col.astype(jnp.int32), menu, acting)
+        # record the board count at the moment the pot locks (a call of
+        # a shove sets BOTH statuses to SHOVING — verified engine
+        # behavior: the hand then runs out chance-only to terminal)
+        now_locked = G.is_everyone_shoving(states3)
+        nb3 = (states3.board >= 0).sum(axis=1).astype(jnp.int32)
+        lock_nb = jnp.where((lock_nb < 0) & now_locked, nb3, lock_nb)
+        return states3, corr_a + act_corr, corr_c + chance_corr, lock_nb
+
+    states, corr_a, corr_c, lock_nb = jax.lax.fori_loop(
+        0, max_steps, body,
+        (states, jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
+         jnp.full(n, -1, jnp.int32)),
     )
     pnl = G.settle(states)[:, 0]
     finished = G.turn_of(states) == G.TURN_TERMINAL
-    return pnl, pnl + corr, finished
+
+    # --- locked-pot runout control variate (the big one) --------------
+    # For all-in showdowns the suffix deals are pure chance and BOTH
+    # holes are known, so E[settle | lock state] is computable: replace
+    # the observed coinflip with its expectation. corr += Ê − S_obs is
+    # zero-mean conditioned on the (measurable-at-lock-time) lock state;
+    # Ê is a fresh-key Monte-Carlo mean over ROLLOUTS runouts, which
+    # keeps the estimator unbiased (E[Ê] is the true expectation,
+    # independent of the observed runout). This is what moves the
+    # reference's "reduce variance by 10-44x" claim (arena/src/lib.rs:4-5)
+    # from noise-level to real: all-in coinflips dominate self-play
+    # variance and the payoff-column baselines can't see them.
+    M = 512
+    # lock_nb == 5 (river shove-call) has an empty suffix — no luck to
+    # correct; fold-ended "locks" settle deterministically (eq_ev == pnl)
+    locked = (lock_nb >= 0) & (lock_nb < 5) & finished
+    keep = jnp.arange(5)[None, :] < jnp.where(locked, lock_nb, 5)[:, None]
+    board_base = jnp.where(keep, states.board, -1)
+    # street at the lock point: 0/3/4 kept cards → PREF/FLOP/TURN
+    street_base = jnp.where(lock_nb <= 0, 0, jnp.where(lock_nb == 3, 1, 2))
+    base = states._replace(
+        board=board_base.astype(states.board.dtype),
+        street=jnp.where(locked, street_base, states.street).astype(
+            states.street.dtype),
+    )
+    rep = lambda a: jnp.tile(a, (M,) + (1,) * (a.ndim - 1))
+    wide = jax.tree.map(rep, base)
+    for j in range(3):  # flop, turn, river (inactive lanes skip)
+        wide = G.deal_board(wide, jax.random.fold_in(key, 555 + j))
+    eq_ev = G.settle(wide)[:, 0].reshape(M, n).mean(axis=0)
+    corr_r = jnp.where(locked, eq_ev - pnl, 0.0)
+    # three zero-mean channels (action / open-pot deal / locked runout):
+    # the caller fits per-channel coefficients, which dominates a single
+    # shared α when the channels' baseline qualities differ this much
+    channels = jnp.stack([corr_a, corr_c, corr_r], axis=1)
+    return pnl, channels, finished
 
 
 def selfplay_delta(table: InfoTable, bucket_fn, n_hands: int = 10_240,
@@ -318,27 +377,34 @@ def selfplay_delta(table: InfoTable, bucket_fn, n_hands: int = 10_240,
     raws, cors = [], []
     n_batches = -(-n_hands // batch)
     for b in range(n_batches):
-        pnl, corrected, fin = kern(table, jax.random.PRNGKey(seed * 7919 + b))
+        pnl, channels, fin = kern(table, jax.random.PRNGKey(seed * 7919 + b))
         fin = np.asarray(fin)
         raws.append(np.asarray(pnl)[fin])
-        cors.append(np.asarray(corrected)[fin])
+        cors.append(np.asarray(channels)[fin])
     raw = np.concatenate(raws).astype(np.float64)
-    corrected = np.concatenate(cors).astype(np.float64)
-    # Fitted control-variate coefficient (beyond-reference): the plain
-    # AIVAT estimator pins α = 1 on the zero-mean correction C, which
-    # only reduces variance when the learned baselines are already
-    # strong. α* = −Cov(raw, C)/Var(C) minimizes variance and can never
-    # do worse than raw asymptotically; fitting on the OTHER half keeps
-    # the estimator unbiased (split-sample cross-fitting).
-    C = corrected - raw
+    X = np.concatenate(cors).astype(np.float64)   # [n, 3] zero-mean channels
+    # Fitted per-channel control-variate coefficients (beyond-
+    # reference): plain AIVAT pins α = 1 on the summed correction,
+    # which only reduces variance when every baseline is already
+    # strong. The variance-optimal α* = −Cov(X)⁻¹ Cov(X, raw) weights
+    # each channel by its actual baseline quality (the locked-runout
+    # channel is near-exact, the payoff-column action channel is
+    # noisy); fitting on the OTHER half keeps the estimator unbiased
+    # (split-sample cross-fitting — X's channels are zero-mean by
+    # construction whatever coefficients multiply them).
     n = len(raw)
-    if n > 3 and C.var(ddof=1) > 0:
+    corrected = raw + X.sum(axis=1)
+    if n > 7:
         h = n // 2
         out = np.empty_like(raw)
         for (fit, app) in ((slice(0, h), slice(h, None)),
                            (slice(h, None), slice(0, h))):
-            a = -np.cov(raw[fit], C[fit])[0, 1] / C[fit].var(ddof=1)
-            out[app] = raw[app] + a * C[app]
+            Xf = X[fit]
+            cov = Xf.T @ Xf / len(Xf)
+            cxy = Xf.T @ (raw[fit] - raw[fit].mean()) / len(Xf)
+            alpha = -np.linalg.solve(
+                cov + 1e-9 * np.eye(cov.shape[0]), cxy)
+            out[app] = raw[app] + X[app] @ alpha
         corrected = out
     rm, cm = raw.mean(), corrected.mean()
     rs = raw.std(ddof=1) / math.sqrt(n) if n > 1 else 0.0

@@ -178,11 +178,12 @@ class Resolver:
             # jax dispatch is async: without a per-iteration sync the
             # wall-clock check sees only enqueue time and the loop
             # overshoots the decision budget by the whole queue depth
-            # (measured 5-7x on the 5 s budget). One scalar sync per
-            # iteration keeps the budget honest at negligible cost
-            # relative to a resolve step.
-            jax.block_until_ready(local.epoch)
-        jax.block_until_ready(local)
+            # (measured 5-7x on the 5 s budget). The sync must be a
+            # VALUE FETCH: on the remote-TPU runtime block_until_ready
+            # returns without waiting (round-4 measurement: ~0 ms vs
+            # 136 ms for fetching a scalar of the same program).
+            int(local.epoch)
+        int(local.epoch)
         policy = harvest_blend(
             local, self.blueprint.table, head,
             self.blueprint.bucket_fn, witness.hero_seat,

@@ -91,8 +91,10 @@ def make_posterior_fn(bucket_fn, menu: np.ndarray, seq_len: int = 24):
     MENU = jnp.asarray(menu)
     pockets = jnp.asarray(ALL_POCKETS)  # [1326, 2]
     NB = pockets.shape[0]
+    # lookup tables thread as jit ARGUMENTS via rebinding (the HLO-
+    # constant trap — see make_resolve_step / make_nlhe_step)
+    _bound = [bucket_fn]
 
-    @jax.jit
     def posterior(table: InfoTable, kind, col, cards, hero_seat, hero_hole):
         # roots: every candidate villain hole in its own lane
         holes = jnp.zeros((NB, 2, 2), jnp.int8)
@@ -134,7 +136,7 @@ def make_posterior_fn(bucket_fn, menu: np.ndarray, seq_len: int = 24):
             hole = jnp.take_along_axis(
                 states.hole, idx[:, None, None].astype(jnp.int32), axis=1
             )[:, 0]
-            bucket = bucket_fn(hole.astype(jnp.int32),
+            bucket = _bound[0](hole.astype(jnp.int32),
                                states.board.astype(jnp.int32), states.street)
             legal = G.legal_cols(states, MENU)
             cmask = (legal * (1 << jnp.arange(9))).sum(axis=1).astype(jnp.int32)
@@ -155,7 +157,23 @@ def make_posterior_fn(bucket_fn, menu: np.ndarray, seq_len: int = 24):
         probs = probs / jnp.maximum(probs.sum(), 1e-30)
         return probs, live, state
 
-    return posterior
+    btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
+    if btree is None:
+        return jax.jit(posterior)
+
+    def posterior_with_tables(table, kind, col, cards, hero_seat,
+                              hero_hole, btree_arg):
+        _bound[0] = bucket_fn.bind(btree_arg)
+        try:
+            return posterior(table, kind, col, cards, hero_seat, hero_hole)
+        finally:
+            _bound[0] = bucket_fn
+
+    jitted = jax.jit(posterior_with_tables)
+    fn = lambda *a: jitted(*a, btree)
+    fn.jitted = jitted
+    fn.extra_args = (btree,)
+    return fn
 
 
 def belief_partition(probs: np.ndarray, n_worlds: int = N_WORLDS) -> np.ndarray:

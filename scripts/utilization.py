@@ -85,19 +85,40 @@ def main():
     # HBM; its measured GB/s is the achievable ceiling on this chip
     # through this runtime (tunnel dispatch overheads included).
     def _memcpy_ceiling():
+        # Method notes, all load-bearing on the remote-TPU runtime:
+        # - the buffer must be a jit ARGUMENT built from random bits
+        #   (jnp.zeros closes over a constant → XLA folds the whole
+        #   sweep at compile time)
+        # - optimization_barrier per scan iteration (else the K adds
+        #   fuse into ONE HBM pass)
+        # - completion must be forced by FETCHING A SCALAR — on this
+        #   backend block_until_ready returns in ~µs without blocking
+        # - two trip counts, differenced: (t_K2 − t_K1)/(K2 − K1)
+        #   cancels the ~30 ms dispatch+fetch latency
+        import functools
+
         import jax.numpy as jnp
-        n = 1 << 27  # 128M f32 = 512 MB buffer, 1 GB traffic per copy
-        buf = jnp.zeros((n,), jnp.float32)
-        cp = jax.jit(lambda x: x + 1.0)
-        cp(buf).block_until_ready()  # compile
-        best = 0.0
-        for _ in range(3):
-            t = time.time()
-            out = cp(buf)
-            out.block_until_ready()
-            gbs = (2 * 4 * n / 1e9) / (time.time() - t)
-            best = max(best, gbs)
-        return best
+        from jax import lax
+        n = 1 << 27  # 128M f32 = 512 MB buffer, 1 GB traffic per pass
+        buf = jax.random.uniform(jax.random.PRNGKey(0), (n,), jnp.float32)
+
+        @functools.partial(jax.jit, static_argnames="k")
+        def sweep(x, k):
+            y = lax.scan(
+                lambda c, _: (lax.optimization_barrier(c + 1.0), ()),
+                x, None, length=k)[0]
+            return y[0] + y[-1]
+
+        def best_ms(k):
+            float(sweep(buf, k))  # compile
+            return min(
+                (lambda t0: (float(sweep(buf, k)), time.time() - t0)[1])(
+                    time.time())
+                for _ in range(3)) * 1e3
+
+        k1, k2 = 4, 64
+        ms_per_pass = (best_ms(k2) - best_ms(k1)) / (k2 - k1)
+        return (2 * 4 * n / 1e9) / (ms_per_pass / 1e3)
 
     memcpy_gbs = _memcpy_ceiling()
     print(f"memcpy-calibrated HBM ceiling: {memcpy_gbs:.0f} GB/s "
@@ -149,7 +170,7 @@ def main():
         ts = time.time()
         table, m = pair[int(table.epoch) % 2](
             table, jax.random.fold_in(key, 500 + i))
-        jax.block_until_ready(table)
+        int(m["nodes"])  # value fetch — block_until_ready doesn't block
         t_sync.append(time.time() - ts)
     step_ms = float(np.mean(t_sync)) * 1e3
     duty = (step_ms / 1e3) * eps
