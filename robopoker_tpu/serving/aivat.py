@@ -277,6 +277,22 @@ def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
         chance_corr = jnp.where(
             is_single & unlocked, mean_base - dealt_base, 0.0)
 
+        # --- flop (3-card) deal correction, Monte-Carlo baseline ------
+        # The reference skips the flop (C(48,3) = 17,296 enumerations
+        # per node is too many for its SQL CTE, aivat.rs:151-153); here
+        # the 52 enumeration replicas double as 52 fresh-key MC flops:
+        # E_c[B(c)] ≈ mean over replicas of the checkdown settle, with
+        # B(c_obs) the settle after the actual deal. The fresh MC key
+        # is independent of the dealt cards, so the correction is
+        # zero-mean in expectation (unbiased) even at finite M=52.
+        is_flop = (t == G.TURN_CHANCE) & (nb == 0)
+        mc = G.deal_board(wide, jax.random.fold_in(k, 99),
+                          active=jnp.tile(is_flop, (52,)))
+        flop_mean = G.settle(mc)[:, 0].reshape(52, n).mean(axis=0)
+        flop_obs = G.settle(states2)[:, 0]  # after the actual flop deal
+        chance_corr = chance_corr + jnp.where(
+            is_flop & unlocked, flop_mean - flop_obs, 0.0)
+
         # --- action corrections + blueprint sampling ------------------
         t2 = G.turn_of(states2)
         acting = t2 <= G.TURN_P1

@@ -168,7 +168,15 @@ class Resolver:
         key = jax.random.PRNGKey(self.seed)
         t0 = time.monotonic()
         it = 0
-        while time.monotonic() - t0 < self.budget_s:
+        iter_s = 0.0  # EMA of per-iteration wall, for budget lookahead
+        while True:
+            # stop BEFORE dispatching an iteration that won't fit — the
+            # old post-hoc check overshot the 5 s decision budget by a
+            # full iteration (~1.2 s measured on chip, round 4)
+            elapsed = time.monotonic() - t0
+            if elapsed + 1.1 * iter_s > self.budget_s:
+                break
+            ti = time.monotonic()
             local = self._step(
                 local, self.blueprint.table, head,
                 jnp.int32(witness.hero_seat), jnp.asarray(probs),
@@ -183,6 +191,8 @@ class Resolver:
             # returns without waiting (round-4 measurement: ~0 ms vs
             # 136 ms for fetching a scalar of the same program).
             int(local.epoch)
+            dt = time.monotonic() - ti
+            iter_s = dt if iter_s == 0.0 else 0.5 * iter_s + 0.5 * dt
         int(local.epoch)
         policy = harvest_blend(
             local, self.blueprint.table, head,
