@@ -193,7 +193,9 @@ def _strength_pallas(suit_masks: jnp.ndarray, interpret: bool) -> jnp.ndarray:
         grid=(x.shape[0] // BLOCK,),
         # default (VMEM) memory space: blocked specs auto-pipeline
         # HBM->VMEM; pltpu.ANY rejects non-trivial index maps on the
-        # real Mosaic backend (it only lowered in interpret mode)
+        # real Mosaic backend. VERIFIED on the real chip (round 4,
+        # logs/settle_r4b.log): both kernels compile and run under
+        # Mosaic after the i1-bitcast fix in _strength_from_suits.
         in_specs=[pl.BlockSpec((BLOCK, 4), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((BLOCK,), lambda i: (i,)),
         interpret=interpret,
