@@ -22,3 +22,14 @@ timeout 1200 python3 -m robopoker_tpu.cli lbr --workdir artifacts \
 
 # 3. headline bench (also warms the compile cache for the driver's run)
 timeout 1500 python3 bench.py 2>&1 | tee logs/bench_r4.log
+
+# 4. re-solve value on chip (programs cached from resolve_latency run;
+# ~48 cases x 2 resolver arms x ~6 s + blueprint arm)
+timeout 1800 python3 scripts/resolve_value.py --tpu --workdir artifacts/r4 \
+    --abstraction artifacts/abstraction_full --budget-ms 5000 \
+    2>&1 | tee logs/resolve_value_chip.log
+
+# 5. weak scaling rerun on the now-quiet host (the mid-train run was
+# contended to meaninglessness)
+timeout 1800 nice -n 5 python3 scripts/weak_scaling.py \
+    2>&1 | tee logs/weak_scaling2.log
