@@ -103,6 +103,9 @@ def main(argv=None):
     r = sub.add_parser("reset")
     r.add_argument("--workdir", default="artifacts")
 
+    fg = sub.add_parser("forget")
+    fg.add_argument("--workdir", default="artifacts")
+
     l = sub.add_parser("litmus")
     l.add_argument("--scenarios", default=None)
     l.add_argument("--workdir", default="artifacts")
@@ -226,6 +229,13 @@ def main(argv=None):
 
         reset(args.workdir)
         print("artifacts dropped")
+        return 0
+
+    if args.cmd == "forget":
+        from .nlhe.forge import forget
+
+        forget(args.workdir)
+        print("gameplay records dropped (blueprint kept)")
         return 0
 
     if args.cmd == "litmus":

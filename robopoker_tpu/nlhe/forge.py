@@ -291,3 +291,16 @@ def reset(workdir: str = "artifacts") -> None:
         p = w / f
         if p.exists():
             p.unlink()
+
+
+def forget(workdir: str = "artifacts") -> None:
+    """Drop gameplay records but KEEP the blueprint (ref: Mode::Forget,
+    forge/src/mode.rs:66-79 — truncates the hand/player/action/room
+    tables while the learned strategy survives). Our analogs: the
+    HandLog jsonl behind the /gameplay scope and any persisted room
+    transcripts."""
+    w = pathlib.Path(workdir)
+    for f in ("hands.jsonl", "rooms.jsonl"):
+        p = w / f
+        if p.exists():
+            p.unlink()

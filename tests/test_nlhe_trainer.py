@@ -172,3 +172,15 @@ def test_fresh_checkout_resumes_from_compact(tmp_path):
     for f in ("regret", "weight", "payoff", "visits", "key_lo", "key_hi"):
         np.testing.assert_array_equal(np.asarray(getattr(s2.table, f)),
                                       np.asarray(getattr(s.table, f)))
+def test_forget_keeps_blueprint(tmp_path):
+    import pathlib
+    from robopoker_tpu.nlhe.forge import forget
+    (tmp_path / "hands.jsonl").write_text("{}\n")
+    (tmp_path / "rooms.jsonl").write_text("{}\n")
+    (tmp_path / "blueprint_compact.npz").write_bytes(b"x")
+    (tmp_path / "snapshots.jsonl").write_text("{}\n")
+    forget(str(tmp_path))
+    assert not (tmp_path / "hands.jsonl").exists()
+    assert not (tmp_path / "rooms.jsonl").exists()
+    assert (tmp_path / "blueprint_compact.npz").exists()
+    assert (tmp_path / "snapshots.jsonl").exists()
