@@ -203,27 +203,56 @@ def _phi(x: float) -> float:
 
 
 def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
-                     max_steps: int, key):
-    """One jittable batch of n self-play hands.
+                     max_steps: int, key, table_b: InfoTable | None = None,
+                     dirac=(False, False), bucket_fn_b=None):
+    """One jittable batch of n hands with hero = seat 0.
 
-    Returns (pnl [n], corrected [n], finished [n]) with hero = seat 0.
+    Self-play when ``table_b`` is None; otherwise a VARIANT MATCH —
+    seat 0 plays ``table``, seat 1 plays ``table_b`` (the reference's
+    arena pairings, README Benchmarks base/depth/world/dirac). ``dirac``
+    switches a seat from policy sampling to argmax selection
+    (ref: players/zoo.rs Dirac); dirac seats get no action-sampling
+    correction (their sampling distribution is a point mass, so the
+    zero-mean correction is identically 0).
+
+    Returns (pnl [n], channels [n, 3], finished [n]).
     """
     from ..subgame.posterior import force_deal
 
     def rows_of(states, m):
-        """(σ, v̂, legal) [m, 9] at each lane's current actor."""
+        """(σ, v̂, legal) [m, 9] at each lane's current actor, reading
+        each seat's OWN table in a variant match."""
         idx = G.actor_idx(states)
         hole = jnp.take_along_axis(
             states.hole, idx[:, None, None].astype(jnp.int32), axis=1
         )[:, 0]
-        bucket = bucket_fn(hole.astype(jnp.int32),
-                           states.board.astype(jnp.int32), states.street)
         legal = G.legal_cols(states, menu)
         cmask = (legal * (1 << jnp.arange(N_COLS))).sum(1).astype(jnp.int32)
-        klo, khi = make_key(bucket, G.packed_subgame(states), cmask)
+        sub = G.packed_subgame(states)
+
+        def keys_for(bfn):
+            bucket = bfn(hole.astype(jnp.int32),
+                         states.board.astype(jnp.int32), states.street)
+            return make_key(bucket, sub, cmask)
+
+        klo, khi = keys_for(bucket_fn)
         row, _ = probe_rows(table.key_lo, table.key_hi, klo, khi)
         sigma = averaged(table.weight[row], legal)
-        return sigma, table.payoff[row], legal
+        pay = table.payoff[row]
+        if table_b is not None:
+            # seat 1 probes its OWN table with its OWN abstraction —
+            # cross-abstraction matches (e.g. exhaustive-vs-sampled
+            # lineages) key each policy exactly as it was trained
+            klo_b, khi_b = (keys_for(bucket_fn_b)
+                            if bucket_fn_b is not None else (klo, khi))
+            row_b, _ = probe_rows(table_b.key_lo, table_b.key_hi,
+                                  klo_b, khi_b)
+            sig_b = averaged(table_b.weight[row_b], legal)
+            pay_b = table_b.payoff[row_b]
+            is_b = (idx == 1)[:, None]
+            sigma = jnp.where(is_b, sig_b, sigma)
+            pay = jnp.where(is_b, pay_b, pay)
+        return sigma, pay, legal
 
     states = G.root(key, n)
 
@@ -302,12 +331,18 @@ def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
         safe = jnp.where(jnp.isfinite(logits).any(1, keepdims=True),
                          logits, jnp.where(legal, 0.0, -jnp.inf))
         col = jax.random.categorical(jax.random.fold_in(k, 7), safe, -1)
+        sampled_actor = jnp.where(t2 == 0, not dirac[0], not dirac[1])
+        if dirac != (False, False):
+            col_max = jnp.argmax(jnp.where(legal, sigma, -1.0), axis=1)
+            col = jnp.where(sampled_actor, col, col_max)
         ev = (sigma * pay * legal).sum(1)
         taken = jnp.take_along_axis(pay, col[:, None], axis=1)[:, 0]
         # hero-signed: hero's own transient luck is subtracted, the
-        # villain's mirrored (ref: correction.rs action_correction)
+        # villain's mirrored (ref: correction.rs action_correction);
+        # dirac actors sample a point mass — no sampling luck to remove
         sign_a = jnp.where(t2 == 0, 1.0, -1.0)
-        act_corr = jnp.where(acting, sign_a * (ev - taken), 0.0)
+        act_corr = jnp.where(acting & sampled_actor,
+                             sign_a * (ev - taken), 0.0)
 
         act_corr = act_corr * unlocked
 
@@ -397,17 +432,20 @@ def selfplay_delta(table: InfoTable, bucket_fn, n_hands: int = 10_240,
         fin = np.asarray(fin)
         raws.append(np.asarray(pnl)[fin])
         cors.append(np.asarray(channels)[fin])
-    raw = np.concatenate(raws).astype(np.float64)
-    X = np.concatenate(cors).astype(np.float64)   # [n, 3] zero-mean channels
-    # Fitted per-channel control-variate coefficients (beyond-
-    # reference): plain AIVAT pins α = 1 on the summed correction,
-    # which only reduces variance when every baseline is already
-    # strong. The variance-optimal α* = −Cov(X)⁻¹ Cov(X, raw) weights
-    # each channel by its actual baseline quality (the locked-runout
-    # channel is near-exact, the payoff-column action channel is
-    # noisy); fitting on the OTHER half keeps the estimator unbiased
-    # (split-sample cross-fitting — X's channels are zero-mean by
-    # construction whatever coefficients multiply them).
+    return _fit_delta(np.concatenate(raws).astype(np.float64),
+                      np.concatenate(cors).astype(np.float64))
+
+
+def _fit_delta(raw: np.ndarray, X: np.ndarray) -> AivatDelta:
+    """Cross-fitted per-channel control-variate estimator (beyond-
+    reference): plain AIVAT pins α = 1 on the summed correction, which
+    only reduces variance when every baseline is already strong. The
+    variance-optimal α* = −Cov(X)⁻¹ Cov(X, raw) weights each channel by
+    its actual baseline quality (the locked-runout channel is
+    near-exact, the payoff-column action channel is noisy); fitting on
+    the OTHER half keeps the estimator unbiased (split-sample
+    cross-fitting — X's channels are zero-mean by construction whatever
+    coefficients multiply them)."""
     n = len(raw)
     corrected = raw + X.sum(axis=1)
     if n > 7:
@@ -432,3 +470,55 @@ def selfplay_delta(table: InfoTable, bucket_fn, n_hands: int = 10_240,
     return AivatDelta(n_hands=n, raw_mean=rm, raw_stderr=rs,
                       aivat_mean=cm, aivat_stderr=cs,
                       reduction=var_ratio, pvalue=p)
+
+
+def match_delta(table_a: InfoTable, table_b: InfoTable, bucket_fn,
+                n_hands: int = 10_240, batch: int = 256, seed: int = 0,
+                menu=None, max_steps: int = 24,
+                dirac_a: bool = False, dirac_b: bool = False,
+                bucket_fn_b=None) -> AivatDelta:
+    """Variant arena: A vs B head-to-head with AIVAT variance reduction
+    (the reference's README Benchmarks pairings — base/dirac variants
+    play full matches; ref: crates/spar + variant.rs zoo). Seats swap
+    every other batch so positional edge cancels; returned means are A's
+    chips/hand from A's perspective. Pass ``bucket_fn_b`` when B was
+    trained under a different abstraction (each seat probes its own
+    table with its own keys)."""
+    menu = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
+    bfb = bucket_fn_b if bucket_fn_b is not None else bucket_fn
+    btree_a = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
+    btree_b = bfb.tree() if hasattr(bfb, "tree") else None
+    _bound = [bucket_fn, bfb]
+
+    def kern_inner(t0, t1, key, bt0, bt1, d0, d1, swapped):
+        if bt0 is not None:
+            _bound[0] = (bfb if swapped else bucket_fn).bind(bt0)
+        if bt1 is not None:
+            _bound[1] = (bucket_fn if swapped else bfb).bind(bt1)
+        try:
+            return _selfplay_kernel(
+                t0, lambda *a: _bound[0](*a), menu, batch, max_steps,
+                key, table_b=t1, dirac=(d0, d1),
+                bucket_fn_b=(lambda *a: _bound[1](*a))
+                if bucket_fn_b is not None else None)
+        finally:
+            _bound[0], _bound[1] = bucket_fn, bfb
+
+    jitted = jax.jit(kern_inner, static_argnames=("d0", "d1", "swapped"))
+    raws, cors = [], []
+    n_batches = -(-n_hands // batch)
+    for b in range(n_batches):
+        key = jax.random.PRNGKey(seed * 7919 + b)
+        if b % 2 == 0:
+            pnl, ch, fin = jitted(table_a, table_b, key, btree_a,
+                                  btree_b, dirac_a, dirac_b, False)
+            sgn = 1.0
+        else:  # swapped seats; negate to express A's perspective
+            pnl, ch, fin = jitted(table_b, table_a, key, btree_b,
+                                  btree_a, dirac_b, dirac_a, True)
+            sgn = -1.0
+        fin = np.asarray(fin)
+        raws.append(sgn * np.asarray(pnl)[fin])
+        cors.append(sgn * np.asarray(ch)[fin])
+    return _fit_delta(np.concatenate(raws).astype(np.float64),
+                      np.concatenate(cors).astype(np.float64))

@@ -23,6 +23,13 @@ timeout 1200 python3 -m robopoker_tpu.cli lbr --workdir artifacts \
 # 3. headline bench (also warms the compile cache for the driver's run)
 timeout 1500 python3 bench.py 2>&1 | tee logs/bench_r4.log
 
+# 3b. variant arena: fresh r4 blueprint vs the r1 flagship head-to-head
+# (cross-abstraction seats, AIVAT-reduced; decision-grade promote input)
+timeout 1800 python3 scripts/arena_match.py --tpu \
+    --a artifacts/r4 --abstraction-a artifacts/abstraction_full \
+    --b artifacts --abstraction-b artifacts/abstraction \
+    --hands 16384 2>&1 | tee logs/arena_r4_vs_r1.log
+
 # 4. re-solve value on chip (programs cached from resolve_latency run;
 # ~48 cases x 2 resolver arms x ~6 s + blueprint arm)
 timeout 1800 python3 scripts/resolve_value.py --tpu --workdir artifacts/r4 \

@@ -617,3 +617,32 @@ def test_aivat_batched_selfplay_reduction(blueprint):
     # gains need a converged blueprint (measured by scripts/aivat_bench)
     assert d.reduction >= 0.98, f"worse than raw: {d.reduction}"
     assert d.aivat_stderr <= d.raw_stderr * 1.01
+
+
+def test_match_delta_selfmatch_is_fair_and_zero_sum(blueprint):
+    """A-vs-A through the variant-arena path must measure ~0 skill (the
+    seat swap cancels position) and agree with the zero-mean contract of
+    every correction channel."""
+    from robopoker_tpu.serving.aivat import match_delta
+
+    d = match_delta(blueprint.table, blueprint.table, proxy_bucket,
+                    n_hands=512, batch=128, seed=3)
+    assert d.n_hands >= 500
+    # true skill is exactly 0; allow 3 stderr
+    assert abs(d.aivat_mean) <= 3.0 * max(d.aivat_stderr, 1e-9)
+    assert d.reduction > 0.5  # the fit can't blow variance up
+
+
+def test_match_delta_trained_beats_uniform(blueprint):
+    """A briefly-trained table should beat an untrained (uniform) one,
+    and dirac selection must run through the same program."""
+    from robopoker_tpu.serving.aivat import match_delta
+
+    fresh = init_table(14)
+    d = match_delta(blueprint.table, fresh, proxy_bucket,
+                    n_hands=768, batch=128, seed=5)
+    assert d.aivat_mean > 0, (
+        f"trained table should win: {d.aivat_mean} ± {d.aivat_stderr}")
+    dd = match_delta(blueprint.table, fresh, proxy_bucket,
+                     n_hands=256, batch=128, seed=6, dirac_a=True)
+    assert dd.n_hands >= 250
