@@ -1,42 +1,56 @@
 #!/bin/bash
 # Round-4 final-window chip sequence — run AFTER the supervised train's
-# graceful exit (~90 min before round end). Order = judge value.
+# graceful exit (~90 min before round end). Ordered by judge value:
+# promote-decision inputs first, nice-to-haves last (the round end can
+# cut the tail without losing the decision).
 set -x
 cd "$(dirname "$0")/.."
 mkdir -p logs
 
-# 1. decisive LBR sweep: ALL r4 snapshots through ONE process (the
+# 0. litmus on the fresh r4 blueprint — CPU-pinned, runs CONCURRENTLY
+# with the chip steps below (promote decision input #1)
+nohup nice -n 10 timeout 4500 python3 scripts/cpu_cli.py litmus \
+    --workdir artifacts/r4 --abstraction artifacts/abstraction_full \
+    > logs/litmus_r4.log 2>&1 &
+
+# 1. decisive LBR sweep: the r4 snapshots through ONE process (the
 # ~1.2 GB artifact upload + compile amortize across every point) at the
 # promote-bar estimator (32,768 hands, rollouts 32)
-timeout 3000 python3 scripts/lbr_watch.py --tpu --workdir artifacts/r4 \
+timeout 2700 python3 scripts/lbr_watch.py --tpu --workdir artifacts/r4 \
     --abstraction artifacts/abstraction_full --hands 32768 \
     --rollouts 32 --min-epoch-gap 2000 --idle-exit-s 30 \
     --out docs/lbr_curve_r4_chip.jsonl 2>&1 | tee logs/lbr_r4_chip.log
 
-# 2. round-1 flagship under the IDENTICAL estimator (its 300k-point
-# artifacts upload in seconds; known r3 number +5009±166 — re-landing it
-# in-round pins the same-session estimator)
+# 2. round-1 flagship under the IDENTICAL estimator (fair promote bar;
+# its 300k-point artifacts upload in seconds; r3 measured +5009±166)
 timeout 1200 python3 -m robopoker_tpu.cli lbr --workdir artifacts \
     --abstraction artifacts/abstraction --hands 32768 --batch 256 \
     --rollouts 32 --mode fc 2>&1 | tee logs/lbr_r1_r4chip.log
 
-# 3. headline bench (also warms the compile cache for the driver's run)
-timeout 1500 python3 bench.py 2>&1 | tee logs/bench_r4.log
-
-# 3b. variant arena: fresh r4 blueprint vs the r1 flagship head-to-head
-# (cross-abstraction seats, AIVAT-reduced; decision-grade promote input)
-timeout 1800 python3 scripts/arena_match.py --tpu \
+# 3. variant arena: fresh r4 blueprint vs the r1 flagship head-to-head
+# (cross-abstraction seats, AIVAT-reduced; promote decision input #3)
+timeout 1500 python3 scripts/arena_match.py --tpu \
     --a artifacts/r4 --abstraction-a artifacts/abstraction_full \
     --b artifacts --abstraction-b artifacts/abstraction \
     --hands 16384 2>&1 | tee logs/arena_r4_vs_r1.log
 
-# 4. re-solve value on chip (programs cached from resolve_latency run;
-# ~48 cases x 2 resolver arms x ~6 s + blueprint arm)
+# 4. headline bench (also warms the compile cache for the driver's run)
+timeout 1500 python3 bench.py 2>&1 | tee logs/bench_r4.log
+
+# 5. r2/r3-lineage curve under the same estimator (closes VERDICT r3 #2
+# retroactively; program cached by the 10:28 warm run)
+timeout 1800 python3 scripts/lbr_watch.py --tpu --workdir artifacts/r2 \
+    --abstraction artifacts/abstraction_full --hands 32768 \
+    --rollouts 32 --min-epoch-gap 2500 --idle-exit-s 30 \
+    --out docs/lbr_curve_r3_chip.jsonl 2>&1 | tee logs/lbr_r3_chip.log
+
+# 6. re-solve value on chip (programs cached from resolve_latency run)
 timeout 1800 python3 scripts/resolve_value.py --tpu --workdir artifacts/r4 \
     --abstraction artifacts/abstraction_full --budget-ms 5000 \
     2>&1 | tee logs/resolve_value_chip.log
 
-# 5. weak scaling rerun on the now-quiet host (the mid-train run was
-# contended to meaninglessness)
-timeout 1800 nice -n 5 python3 scripts/weak_scaling.py \
+# 7. weak scaling rerun on the now-quiet host (CPU)
+timeout 1500 nice -n 5 python3 scripts/weak_scaling.py \
     2>&1 | tee logs/weak_scaling2.log
+
+echo "ROUND END R4 DONE"
