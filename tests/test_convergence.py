@@ -191,3 +191,23 @@ def test_leduc_full_budget():
                seed=0)
     s.solve(2 ** 18)
     assert s.exploitability() < 0.05
+
+
+def test_rps_simplex_trajectory_and_viewer():
+    """Simplex snapshot capture converges toward the asymmetric Nash and
+    the standalone viewer embeds both players' trajectories
+    (ref: roshambo/src/simplex.rs snapshot + assets.rs viewer)."""
+    from robopoker_tpu.games.rps import nash
+    from robopoker_tpu.games.simplex import cartesian, render_html, trajectory
+
+    p1, p2 = trajectory(n_epochs=1024, stride=128, seed=1)
+    assert len(p1) == len(p2) == 8
+    n = nash()
+    target = (n["R"], n["P"], n["S"])
+    final = p1[-1].averaged
+    assert all(abs(a - b) < 0.08 for a, b in zip(final, target)), final
+    # barycentric → cartesian matches the reference vertex layout
+    assert cartesian((1, 0, 0)) == (0.0, 0.0)
+    assert cartesian((0, 1, 0)) == (1.0, 0.0)
+    html = render_html(p1, p2)
+    assert "averaged" in html and "epoch" in html and "svg" in html
