@@ -451,13 +451,22 @@ def _fit_delta(raw: np.ndarray, X: np.ndarray) -> AivatDelta:
     if n > 7:
         h = n // 2
         out = np.empty_like(raw)
+        ones = np.ones(X.shape[1])
         for (fit, app) in ((slice(0, h), slice(h, None)),
                            (slice(h, None), slice(0, h))):
             Xf = X[fit]
             cov = Xf.T @ Xf / len(Xf)
             cxy = Xf.T @ (raw[fit] - raw[fit].mean()) / len(Xf)
-            alpha = -np.linalg.solve(
+            a_star = -np.linalg.solve(
                 cov + 1e-9 * np.eye(cov.shape[0]), cxy)
+            # small-sample guard: the regression α can overfit a short
+            # fit half and BLOW UP the apply-half variance (observed
+            # reduction 0.14 at n=128). Choose among {raw, plain AIVAT,
+            # fitted} by fit-half variance — the choice uses only the
+            # fit half, so the apply half stays unbiased.
+            alpha = min(
+                (np.zeros(X.shape[1]), ones, a_star),
+                key=lambda a: (raw[fit] + Xf @ a).var(ddof=1))
             out[app] = raw[app] + X[app] @ alpha
         corrected = out
     rm, cm = raw.mean(), corrected.mean()
