@@ -34,6 +34,14 @@ timeout 1500 python3 scripts/arena_match.py --tpu \
     --b artifacts --abstraction-b artifacts/abstraction \
     --hands 16384 2>&1 | tee logs/arena_r4_vs_r1.log
 
+# 3c. dirac ablation on the champion table — the reference's README
+# Benchmarks finding is that argmax selection dominates (base −32.8 vs
+# dirac −26.6 bb/100); same-table same-abstraction pairing, one program
+timeout 1200 python3 scripts/arena_match.py --tpu \
+    --a artifacts/r4 --abstraction-a artifacts/abstraction_full \
+    --b artifacts/r4 --abstraction-b artifacts/abstraction_full \
+    --dirac-a --hands 16384 2>&1 | tee logs/arena_dirac.log
+
 # 4. headline bench (also warms the compile cache for the driver's run)
 timeout 1500 python3 bench.py 2>&1 | tee logs/bench_r4.log
 
