@@ -9,9 +9,13 @@ mkdir -p logs
 
 # 0. litmus on the fresh r4 blueprint — CPU-pinned, runs CONCURRENTLY
 # with the chip steps below (promote decision input #1)
-nohup nice -n 10 timeout 4500 python3 scripts/cpu_cli.py litmus \
+nohup nice -n 10 timeout 4500 bash -c '
+python3 scripts/cpu_cli.py litmus \
     --workdir artifacts/r4 --abstraction artifacts/abstraction_full \
-    > logs/litmus_r4.log 2>&1 &
+    > logs/litmus_r4.log 2>&1
+python3 scripts/preflop_chart.py --workdir artifacts/r4 \
+    --abstraction artifacts/abstraction_full --out docs/preflop_chart_r4.md \
+    > logs/chart_r4.log 2>&1' &
 
 # 1. decisive LBR sweep: the r4 snapshots through ONE process (the
 # ~1.2 GB artifact upload + compile amortize across every point) at the
