@@ -47,8 +47,9 @@ def main():
             if best is None or r["epoch"] > best["epoch"]:
                 best = r
     if best:
-        out["lbr_r4"] = {k: best.get(k) for k in
-                         ("epoch", "lbr_mbb_per_hand", "stderr_mbb")}
+        out["lbr_r4"] = {"epoch": best["epoch"],
+                         "lbr_mbb": best["lbr_mbb"],
+                         "stderr": best["stderr"]}
     # r1 fair point from this session (fallback: r3's recorded number)
     r1 = None
     lg = pathlib.Path("logs/lbr_r1_r4chip.log")
@@ -62,9 +63,9 @@ def main():
         if r1 else {"lbr_mbb_per_hand": 5009.0, "stderr_mbb": 166.0,
                     "source": "round-3 recorded"})
     if best:
-        joint = (best["stderr_mbb"] ** 2
+        joint = (best["stderr"] ** 2
                  + out["lbr_r1"]["stderr_mbb"] ** 2) ** 0.5
-        out["lbr_pass"] = (best["lbr_mbb_per_hand"]
+        out["lbr_pass"] = (best["lbr_mbb"]
                            <= out["lbr_r1"]["lbr_mbb_per_hand"] + joint)
     # arena
     ar = pathlib.Path("logs/arena_r4_vs_r1.log")
