@@ -111,6 +111,14 @@ def main(argv=None):
     l.add_argument("--workdir", default="artifacts")
     l.add_argument("--abstraction", default=None)
 
+    sb = sub.add_parser("slumbot", help="play the flagship against "
+                                        "slumbot.com (ref: spar binary)")
+    sb.add_argument("--workdir", default="artifacts")
+    sb.add_argument("--abstraction", default=None)
+    sb.add_argument("--hands", type=int, default=100)
+    sb.add_argument("--sample", action="store_true",
+                    help="sample the policy instead of dirac argmax")
+
     x = sub.add_parser("lbr", help="LBR exploitability lower bound vs the "
                                    "trained blueprint")
     x.add_argument("--workdir", default="artifacts")
@@ -249,6 +257,40 @@ def main(argv=None):
         md, ok = litmus.run(Blueprint(session.table, bucket_fn=bucket), scen)
         print(md)
         return 0 if ok else 1
+
+    if args.cmd == "slumbot":
+        import urllib.error
+        import urllib.request
+
+        from .serving.policy import Agent, Blueprint
+        from .serving.slumbot import Runtime, Session, SlumbotAgent
+
+        session, bucket = _bucket_session(args)
+        agent = SlumbotAgent(Blueprint(session.table, bucket_fn=bucket),
+                             use_dirac=not args.sample)
+
+        def transport(endpoint, payload):
+            # live client: POST to slumbot.com/api/* with the session
+            # token (ref: spar/src/session.rs + api.rs)
+            data = json.dumps(payload).encode()
+            req = urllib.request.Request(
+                f"https://slumbot.com/api/{endpoint}", data=data,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read())
+
+        s = Session(transport=transport, agent=agent)
+        try:
+            out = Runtime(sessions=[s],
+                          hands_per_session=args.hands).run()
+        except (urllib.error.URLError, OSError) as e:
+            print(f"slumbot.com unreachable ({e}); this environment has "
+                  f"no network egress. The transport/session/runtime "
+                  f"stack is exercised by tests/test_serving.py's "
+                  f"fake-transport suite.")
+            return 2
+        print(json.dumps(out, indent=2))
+        return 0
 
     if args.cmd == "lbr":
         from .nlhe.abstraction import proxy_bucket
