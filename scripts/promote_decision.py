@@ -38,18 +38,26 @@ def main():
         if m:
             out["litmus_r4"] = f"{m.group(1)}/{m.group(2)}"
             out["litmus_pass"] = int(m.group(1)) >= 41
-    # LBR sweep (use the highest-epoch point)
+    # LBR sweep (use the highest-epoch point; the chip sweep is
+    # preferred, the CPU watch curve is the same-estimator fallback —
+    # round-4 session 2: the chip sweep again failed to fit its window,
+    # the CPU point decided)
     best = None
-    p = pathlib.Path("docs/lbr_curve_r4_chip.jsonl")
-    if p.exists():
+    for name in ("docs/lbr_curve_r4_chip.jsonl", "docs/lbr_curve_r4.jsonl"):
+        p = pathlib.Path(name)
+        if not p.exists():
+            continue
         for l in p.read_text().splitlines():
             r = json.loads(l)
             if best is None or r["epoch"] > best["epoch"]:
-                best = r
+                best = dict(r, source=name)
+        if best:
+            break
     if best:
         out["lbr_r4"] = {"epoch": best["epoch"],
                          "lbr_mbb": best["lbr_mbb"],
-                         "stderr": best["stderr"]}
+                         "stderr": best["stderr"],
+                         "source": best["source"]}
     # r1 fair point from this session (fallback: r3's recorded number)
     r1 = None
     lg = pathlib.Path("logs/lbr_r1_r4chip.log")
