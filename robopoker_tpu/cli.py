@@ -87,6 +87,10 @@ def main(argv=None):
     t.add_argument("--drop-rate", type=float, default=0.005,
                    help="marginal dropped-nodes rate that triggers an "
                         "adaptive cap-widening recompile")
+    t.add_argument("--lbr-every-min", type=float, default=0.0,
+                   help="score the live table with fc-LBR every N min "
+                        "(0 = off; VERDICT r4 #4 in-train chip LBR)")
+    t.add_argument("--lbr-hands", type=int, default=16_384)
     t.add_argument("--flush-min", type=float, default=30.0,
                    help="snapshot cadence in minutes (each flush also "
                         "appends an epoch-stamped compact checkpoint "
@@ -197,6 +201,8 @@ def main(argv=None):
             cap_margin=args.cap_margin,
             adaptive_caps=not args.no_adaptive_caps,
             adaptive_drop_rate=args.drop_rate,
+            lbr_every_s=args.lbr_every_min * 60.0,
+            lbr_hands=args.lbr_hands,
         )
         session.train(args.epochs)
         return 0

@@ -64,6 +64,19 @@ class FastSession:
     adaptive_drop_rate: float = 0.005   # marginal drops/node that trigger
     adaptive_window: int = 128          # epochs per drop-rate check
     adaptive_growth: float = 1.15       # headroom over observed peak
+    # In-train LBR scoring (VERDICT r4 #4 — the "chip LBR wall"): a
+    # fresh full-artifact chip LBR process died twice at >30 min of
+    # upload+compile, but INSIDE the training process the lookup tables
+    # and blueprint are already device-resident and thread through the
+    # LBR program as jit arguments, so a 16k-hand fc-LBR point costs one
+    # program compile (cached thereafter) plus ~1-3 min of device time.
+    # The point scores the LIVE table (same estimator as
+    # scripts/lbr_watch.py) and appends to <workdir>/lbr_curve_chip.jsonl.
+    lbr_every_s: float = 0.0            # 0 = off
+    lbr_hands: int = 16_384
+    lbr_batch: int = 256
+    lbr_rollouts: int = 32
+    lbr_mode: str = "fc"
 
     def __post_init__(self):
         self.workdir = pathlib.Path(self.workdir)
@@ -186,6 +199,64 @@ class FastSession:
               f"{time.monotonic() - t0:.0f}s (compile is lazy — next "
               f"two epochs pay it)", flush=True)
 
+    def _lbr_point(self) -> None:
+        """Score the live device-resident table with fc-LBR (+AIVAT
+        column) and append one JSONL record. Failures disable further
+        points rather than killing the train (degradation-over-crash,
+        ref: crates/nlhe/src/encoder.rs:155-178)."""
+        import json as _json
+
+        import jax.numpy as jnp
+
+        t0 = time.monotonic()
+        epoch = int(self.table.epoch)
+        try:
+            if getattr(self, "_lbr_play", None) is None:
+                from ..serving.lbr import make_lbr_play
+
+                print(f"in-train lbr: building program (one-time compile; "
+                      f"epoch {epoch})", flush=True)
+                self._lbr_play = make_lbr_play(
+                    self.table, self._bucket, batch=self.lbr_batch,
+                    n_rollouts=self.lbr_rollouts, mode=self.lbr_mode,
+                    aivat=True)
+                self._lbr_key = jax.random.PRNGKey(self.run.seed + 7)
+            play = self._lbr_play
+            chips, cchips = [], []
+            n_batches = max(1, self.lbr_hands // self.lbr_batch)
+            for b in range(n_batches):
+                pnl, cor, done = play.jitted(
+                    jax.random.fold_in(self._lbr_key, b),
+                    jnp.int32(b % 2), self.table, *play.extra_args)
+                done = np.asarray(done)
+                chips.append(np.asarray(pnl)[done])
+                cchips.append(np.asarray(cor)[done])
+                if b % 16 == 0:
+                    print(f"in-train lbr: batch {b}/{n_batches} "
+                          f"({time.monotonic() - t0:.0f}s)", flush=True)
+            mbb = np.concatenate(chips) / 2.0 * 1000.0
+            amb = np.concatenate(cchips) / 2.0 * 1000.0
+            n = len(mbb)
+            var_r, var_a = mbb.var(ddof=1), amb.var(ddof=1)
+            rec = {
+                "epoch": epoch, "hands": int(n), "mode": self.lbr_mode,
+                "source": "in-train-chip",
+                "lbr_mbb": float(mbb.mean()),
+                "stderr": float(var_r ** 0.5 / np.sqrt(n)),
+                "lbr_mbb_aivat": float(amb.mean()),
+                "stderr_aivat": float(var_a ** 0.5 / np.sqrt(n)),
+                "aivat_reduction": float(var_r / var_a)
+                if var_a > 0 else 1.0,
+                "wall_s": round(time.monotonic() - t0, 1),
+            }
+            with open(self.workdir / "lbr_curve_chip.jsonl", "a") as f:
+                f.write(_json.dumps(rec) + "\n")
+            print("in-train lbr: " + _json.dumps(rec), flush=True)
+        except Exception as e:   # noqa: BLE001 — never kill the train
+            print(f"in-train lbr FAILED ({e!r}) — disabling further "
+                  f"points", flush=True)
+            self.lbr_every_s = 0.0
+
     def snapshot(self, dense: bool = False) -> None:
         """Flush checkpoints. Periodic flushes write compact files only
         (ONE device-side occupied-rows gather — the dense [2^23, 9] table
@@ -236,7 +307,7 @@ class FastSession:
         """Step until `epochs`, interrupt, or TRAIN_DURATION; flush every
         flush_interval and on exit (ref: fast.rs:80-122)."""
         interrupt.install()
-        last_flush = time.monotonic()
+        last_flush = last_lbr = time.monotonic()
         n = 0
         import jax.numpy as jnp
 
@@ -265,6 +336,10 @@ class FastSession:
             if time.monotonic() - last_flush > self.training_hp.flush_interval_s:
                 self.snapshot()
                 last_flush = time.monotonic()
+            if (self.lbr_every_s > 0
+                    and time.monotonic() - last_lbr > self.lbr_every_s):
+                self._lbr_point()
+                last_lbr = time.monotonic()
             if interrupt.interrupted():
                 break
         jax.block_until_ready(self.table)

@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--scenarios", default=None)
     ap.add_argument("--out", default="docs/resolve_value.md")
+    ap.add_argument("--arms", default=None,
+                    help="comma list subset of blueprint,adapt_leaf,adapt_full")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +96,9 @@ def main():
         "adapt_full": _ResolverPolicy(Resolver(
             bp, ResolveConfig(frontier_picks=True), budget_s=budget)),
     }
+    if args.arms:
+        keep = [a.strip() for a in args.arms.split(",")]
+        arms = {k: v for k, v in arms.items() if k in keep}
 
     scen = args.scenarios or str(
         pathlib.Path(L.__file__).parent / "scenarios.json")
@@ -135,16 +140,18 @@ def main():
             f"| {name} | {scores[name]}/{n} | "
             f"{t.get('mean_ms', 0):.0f} | {t.get('p99_ms', 0):.0f} | "
             f"{t.get('mean_iterations', 0):.0f} |")
+    others = [a for a in arms if a != "blueprint"]
     lines += ["", "## Cases that changed vs the raw blueprint", "",
-              "| case | blueprint | adapt_leaf | adapt_full |",
-              "|---|---|---|---|"]
+              "| case | blueprint | " + " | ".join(others) + " |",
+              "|---|---|" + "---|" * len(others)]
     for i in range(n):
         b = rows["blueprint"][i]
-        l_, f_ = rows["adapt_leaf"][i], rows["adapt_full"][i]
-        if b.passed != l_.passed or b.passed != f_.passed:
+        alt = [rows[a][i] for a in others]
+        if any(b.passed != r.passed for r in alt):
             def mark(r):
                 return ("✅" if r.passed else "❌") + f" {r.observed}"
-            lines.append(f"| {b.name} | {mark(b)} | {mark(l_)} | {mark(f_)} |")
+            cells = " | ".join(mark(r) for r in alt)
+            lines.append(f"| {b.name} | {mark(b)} | {cells} |")
     out = pathlib.Path(args.out)
     out.parent.mkdir(exist_ok=True)
     out.write_text("\n".join(lines) + "\n")
