@@ -1,10 +1,19 @@
-"""Collect the round-4 promote-bar inputs and decide.
+"""Collect the promote-bar inputs for a candidate lineage and decide.
 
-Bars (VERDICT r3 #1): litmus ≥ 41/48 AND fair chip LBR ≤ r1's number
-(within joint stderr), with the head-to-head arena as a tiebreaker.
-Run after scripts/round_end_r4.sh; --apply copies the r4 blueprint to
-artifacts/blueprint_compact.npz (the flagship slot) and records the
-abstraction it must be served with.
+Bars (VERDICT r3 #1, r4 #1): litmus ≥ 41/48 AND fc-LBR ≤ the r1
+flagship's number (within joint stderr) AND head-to-head arena vs r1
+≥ 0. --apply copies the candidate blueprint to
+artifacts/blueprint_compact.npz (the flagship slot).
+
+Estimator-condition honesty (VERDICT r4 weak #4): the bar and the
+candidate must be measured under IDENTICAL conditions (same hands, same
+backend). The decision record carries each point's hands/source and
+emits a WARNING when they differ.
+
+    python3 scripts/promote_decision.py --lineage artifacts/r2 \
+        --litmus-log logs/litmus_r5.log \
+        --lbr-curves artifacts/r2/lbr_curve_chip.jsonl,docs/lbr_curve_r5.jsonl \
+        --r1-log logs/lbr_r1_r5.log --arena-log logs/arena_r5_vs_r1.log
 """
 
 import argparse
@@ -17,87 +26,125 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
-def last_jsonl(path):
+def jsonl_rows(path):
     p = pathlib.Path(path)
     if not p.exists():
-        return None
-    rows = [json.loads(l) for l in p.read_text().splitlines() if l.strip()]
-    return rows[-1] if rows else None
+        return []
+    rows = []
+    for l in p.read_text().splitlines():
+        l = l.strip()
+        if not l:
+            continue
+        try:
+            rows.append(json.loads(l))
+        except json.JSONDecodeError:
+            print(f"WARNING: unparsable line in {path}", file=sys.stderr)
+    return rows
+
+
+def json_lines_from_log(path):
+    """Per-line JSON objects from a mixed log (ADVICE r4 #4: a greedy
+    brace regex spans first-to-last brace across multiple objects and
+    silently fails; parse line-by-line and warn on misses)."""
+    p = pathlib.Path(path)
+    if not p.exists():
+        return []
+    out = []
+    for l in p.read_text().splitlines():
+        l = l.strip()
+        if l.startswith("{") and l.endswith("}"):
+            try:
+                out.append(json.loads(l))
+            except json.JSONDecodeError:
+                print(f"WARNING: JSON-looking line in {path} failed to "
+                      f"parse", file=sys.stderr)
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--apply", action="store_true")
+    ap.add_argument("--lineage", default="artifacts/r2")
+    ap.add_argument("--litmus-log", default="logs/litmus_r5.log")
+    ap.add_argument("--lbr-curves",
+                    default="artifacts/r2/lbr_curve_chip.jsonl,"
+                            "docs/lbr_curve_r5.jsonl,docs/lbr_curve_r3.jsonl")
+    ap.add_argument("--r1-log", default="logs/lbr_r1_r5.log",
+                    help="log holding the r1 bar point measured under the "
+                         "SAME estimator conditions as the candidate")
+    ap.add_argument("--arena-log", default="logs/arena_r5_vs_r1.log")
+    ap.add_argument("--out", default="docs/promote_decision_r5.json")
     args = ap.parse_args()
 
-    out = {}
+    out = {"lineage": args.lineage}
     # litmus
-    lit = pathlib.Path("logs/litmus_r4.log")
+    lit = pathlib.Path(args.litmus_log)
     if lit.exists():
-        m = re.search(r"\*\*(\d+)/(\d+) passed\*\*", lit.read_text())
+        m = None
+        for m in re.finditer(r"\*\*(\d+)/(\d+) passed\*\*", lit.read_text()):
+            pass
         if m:
-            out["litmus_r4"] = f"{m.group(1)}/{m.group(2)}"
+            out["litmus"] = f"{m.group(1)}/{m.group(2)}"
             out["litmus_pass"] = int(m.group(1)) >= 41
-    # LBR sweep (use the highest-epoch point; the chip sweep is
-    # preferred, the CPU watch curve is the same-estimator fallback —
-    # round-4 session 2: the chip sweep again failed to fit its window,
-    # the CPU point decided)
+    # LBR: merge ALL curve files and take the global highest-epoch point
+    # (ADVICE r4 #3: a stale chip file must not shadow a newer CPU point)
     best = None
-    for name in ("docs/lbr_curve_r4_chip.jsonl", "docs/lbr_curve_r4.jsonl"):
-        p = pathlib.Path(name)
-        if not p.exists():
-            continue
-        for l in p.read_text().splitlines():
-            r = json.loads(l)
+    for name in args.lbr_curves.split(","):
+        for r in jsonl_rows(name.strip()):
+            if "lbr_mbb" not in r:
+                continue
             if best is None or r["epoch"] > best["epoch"]:
-                best = dict(r, source=name)
-        if best:
-            break
+                best = dict(r, source=r.get("source", name.strip()))
     if best:
-        out["lbr_r4"] = {"epoch": best["epoch"],
-                         "lbr_mbb": best["lbr_mbb"],
-                         "stderr": best["stderr"],
-                         "source": best["source"]}
-    # r1 fair point from this session (fallback: r3's recorded number)
+        out["lbr_candidate"] = {
+            k: best.get(k) for k in
+            ("epoch", "lbr_mbb", "stderr", "hands", "source")}
+    # r1 bar point (same-conditions measurement preferred)
     r1 = None
-    lg = pathlib.Path("logs/lbr_r1_r4chip.log")
-    if lg.exists():
-        m = re.search(r"\{[^{}]*\"lbr_mbb_per_hand\"[^{}]*\}",
-                      lg.read_text(), re.S)
-        if m:
-            r1 = json.loads(m.group(0))
-    out["lbr_r1"] = (
-        {k: r1.get(k) for k in ("lbr_mbb_per_hand", "stderr_mbb")}
-        if r1 else {"lbr_mbb_per_hand": 5009.0, "stderr_mbb": 166.0,
-                    "source": "round-3 recorded"})
+    for j in reversed(json_lines_from_log(args.r1_log)):
+        if "lbr_mbb_per_hand" in j or "lbr_mbb" in j:
+            r1 = {"lbr_mbb": j.get("lbr_mbb_per_hand", j.get("lbr_mbb")),
+                  "stderr": j.get("stderr_mbb", j.get("stderr")),
+                  "hands": j.get("hands"), "source": args.r1_log}
+            break
+    if r1 is None:
+        r1 = {"lbr_mbb": 5009.0, "stderr": 166.0, "hands": 32768,
+              "source": "round-3 recorded (32,768 hands, chip)"}
+    out["lbr_r1"] = r1
     if best:
-        joint = (best["stderr"] ** 2
-                 + out["lbr_r1"]["stderr_mbb"] ** 2) ** 0.5
-        out["lbr_pass"] = (best["lbr_mbb"]
-                           <= out["lbr_r1"]["lbr_mbb_per_hand"] + joint)
-    # arena
-    ar = pathlib.Path("logs/arena_r4_vs_r1.log")
-    if ar.exists():
-        m = re.findall(r"\{.*\}", ar.read_text(), re.S)
-        if m:
-            try:
-                j = json.loads(m[-1])
-                out["arena_r4_vs_r1_mbb"] = j.get("a_minus_b_mbb_per_hand")
-                out["arena_stderr_mbb"] = j.get("stderr_mbb")
-            except Exception:
-                pass
-    promote = bool(out.get("litmus_pass")) and bool(out.get("lbr_pass"))
+        joint = (best["stderr"] ** 2 + r1["stderr"] ** 2) ** 0.5
+        out["lbr_pass"] = best["lbr_mbb"] <= r1["lbr_mbb"] + joint
+        if best.get("hands") != r1.get("hands"):
+            out["estimator_warning"] = (
+                f"candidate measured at {best.get('hands')} hands "
+                f"({best.get('source')}) but the r1 bar at "
+                f"{r1.get('hands')} hands ({r1.get('source')}) — "
+                f"re-measure under identical conditions before trusting "
+                f"a marginal pass (VERDICT r4 weak #4)")
+            print("WARNING: " + out["estimator_warning"], file=sys.stderr)
+    # arena head-to-head vs r1
+    arena = None
+    for j in reversed(json_lines_from_log(args.arena_log)):
+        if "a_minus_b_mbb_per_hand" in j:
+            arena = j
+            break
+    if arena:
+        out["arena_vs_r1_mbb"] = arena.get("a_minus_b_mbb_per_hand")
+        out["arena_stderr_mbb"] = arena.get("stderr_mbb")
+        out["arena_pass"] = out["arena_vs_r1_mbb"] >= 0
+    promote = (bool(out.get("litmus_pass")) and bool(out.get("lbr_pass"))
+               and out.get("arena_pass", True))
     out["promote"] = promote
     print(json.dumps(out, indent=2))
+    pathlib.Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
     if args.apply and promote:
-        shutil.copy("artifacts/r4/blueprint_compact.npz",
+        shutil.copy(pathlib.Path(args.lineage) / "blueprint_compact.npz",
                     "artifacts/blueprint_compact.npz")
         pathlib.Path("artifacts/FLAGSHIP.md").write_text(
-            "Flagship blueprint = round-4 fresh bias-on train "
-            "(artifacts/r4 lineage). Serve/evaluate it with "
-            "--abstraction artifacts/abstraction_full — the compact "
-            "fingerprint enforces this.\n")
-        print("PROMOTED artifacts/r4 -> artifacts/blueprint_compact.npz")
+            f"Flagship blueprint = {args.lineage} lineage. Serve/evaluate "
+            f"it with --abstraction artifacts/abstraction_full — the "
+            f"compact fingerprint enforces this.\n")
+        print(f"PROMOTED {args.lineage} -> artifacts/blueprint_compact.npz")
     elif args.apply:
         print("bars not met — NOT promoted")
 
