@@ -234,19 +234,21 @@ class FastSession:
                 if b % 16 == 0:
                     print(f"in-train lbr: batch {b}/{n_batches} "
                           f"({time.monotonic() - t0:.0f}s)", flush=True)
+            from ..serving.aivat import guard_corrected
+
             mbb = np.concatenate(chips) / 2.0 * 1000.0
             amb = np.concatenate(cchips) / 2.0 * 1000.0
             n = len(mbb)
-            var_r, var_a = mbb.var(ddof=1), amb.var(ddof=1)
+            amb, reduction, fell_back = guard_corrected(mbb, amb)
             rec = {
                 "epoch": epoch, "hands": int(n), "mode": self.lbr_mode,
                 "source": "in-train-chip",
                 "lbr_mbb": float(mbb.mean()),
-                "stderr": float(var_r ** 0.5 / np.sqrt(n)),
+                "stderr": float(mbb.std(ddof=1) / np.sqrt(n)),
                 "lbr_mbb_aivat": float(amb.mean()),
-                "stderr_aivat": float(var_a ** 0.5 / np.sqrt(n)),
-                "aivat_reduction": float(var_r / var_a)
-                if var_a > 0 else 1.0,
+                "stderr_aivat": float(amb.std(ddof=1) / np.sqrt(n)),
+                "aivat_reduction": reduction,
+                **({"aivat_fallback": True} if fell_back else {}),
                 "wall_s": round(time.monotonic() - t0, 1),
             }
             with open(self.workdir / "lbr_curve_chip.jsonl", "a") as f:

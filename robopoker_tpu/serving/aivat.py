@@ -186,6 +186,24 @@ class Aivat:
         )
 
 
+def guard_corrected(raw: np.ndarray, corrected: np.ndarray):
+    """Final publication guard (VERDICT r4 #5): an AIVAT column whose
+    measured variance is NOT an improvement over raw must never be
+    published — fall back to the raw column. Returns
+    ``(column, reduction, fell_back)``; reduction is 1.0 on fallback.
+    The r4 jsonl shipped a point with aivat_reduction 0.756 because the
+    per-path fit guards protect the FIT half only; this is the
+    unconditional last line of defense at every publishing site."""
+    raw = np.asarray(raw, np.float64)
+    corrected = np.asarray(corrected, np.float64)
+    if len(raw) < 2:
+        return raw, 1.0, True
+    vr, vc = raw.var(ddof=1), corrected.var(ddof=1)
+    if vc <= 0 or vc >= vr:
+        return raw, 1.0, True
+    return corrected, float(vr / vc), False
+
+
 def _phi(x: float) -> float:
     return 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
 
@@ -469,11 +487,10 @@ def _fit_delta(raw: np.ndarray, X: np.ndarray) -> AivatDelta:
                 key=lambda a: (raw[fit] + Xf @ a).var(ddof=1))
             out[app] = raw[app] + X[app] @ alpha
         corrected = out
+    corrected, var_ratio, _ = guard_corrected(raw, corrected)
     rm, cm = raw.mean(), corrected.mean()
     rs = raw.std(ddof=1) / math.sqrt(n) if n > 1 else 0.0
     cs = corrected.std(ddof=1) / math.sqrt(n) if n > 1 else 0.0
-    var_ratio = (raw.var(ddof=1) / corrected.var(ddof=1)
-                 if n > 1 and corrected.var(ddof=1) > 0 else 1.0)
     z = cm / cs if cs > 0 else 0.0
     p = 2.0 * (1.0 - _phi(abs(z)))
     return AivatDelta(n_hands=n, raw_mean=rm, raw_stderr=rs,

@@ -451,10 +451,15 @@ def lbr_eval(table: InfoTable, bucket_fn, n_hands: int = 2048,
                 a = -np.cov(mbb[fit], C[fit])[0, 1] / C[fit].var(ddof=1)
                 out[app] = mbb[app] + a * C[app]
             cm = out
+        # unconditional publication guard: never emit an inflating
+        # column (VERDICT r4 #5)
+        from .aivat import guard_corrected
+
+        cm, reduction, fell_back = guard_corrected(mbb, cm)
         res["lbr_mbb_per_hand_aivat"] = float(cm.mean()) if len(cm) else 0.0
         res["stderr_mbb_aivat"] = (
             float(cm.std(ddof=1) / np.sqrt(n)) if len(cm) > 1 else 0.0)
-        res["aivat_reduction"] = (
-            float(mbb.var(ddof=1) / cm.var(ddof=1))
-            if len(cm) > 1 and cm.var(ddof=1) > 0 else 1.0)
+        res["aivat_reduction"] = reduction
+        if fell_back:
+            res["aivat_fallback"] = True
     return res

@@ -117,17 +117,20 @@ def main():
             done = np.asarray(done)
             chips.append(np.asarray(pnl)[done])
             cchips.append(np.asarray(cor)[done])
+        from robopoker_tpu.serving.aivat import guard_corrected
+
         mbb = np.concatenate(chips) / 2.0 * 1000.0
         amb = np.concatenate(cchips) / 2.0 * 1000.0
         n = len(mbb)
+        amb, reduction, fell_back = guard_corrected(mbb, amb)
         rec = {
             "epoch": ep, "hands": int(n), "mode": args.mode,
             "lbr_mbb": float(mbb.mean()),
             "stderr": float(mbb.std(ddof=1) / np.sqrt(n)),
             "lbr_mbb_aivat": float(amb.mean()),
             "stderr_aivat": float(amb.std(ddof=1) / np.sqrt(n)),
-            "aivat_reduction": float(mbb.var(ddof=1) / amb.var(ddof=1))
-            if amb.var(ddof=1) > 0 else 1.0,
+            "aivat_reduction": reduction,
+            **({"aivat_fallback": True} if fell_back else {}),
             "wall_s": round(time.time() - t0, 1),
         }
         with open(out, "a") as f:

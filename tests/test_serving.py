@@ -646,3 +646,29 @@ def test_match_delta_trained_beats_uniform(blueprint):
     dd = match_delta(blueprint.table, fresh, proxy_bucket,
                      n_hands=256, batch=128, seed=6, dirac_a=True)
     assert dd.n_hands >= 250
+
+
+def test_aivat_publication_guard_never_inflates():
+    """VERDICT r4 #5: no publishing path may emit an AIVAT column with
+    reduction < 1. guard_corrected must fall back to raw whenever the
+    corrected column's variance is worse (the r4 jsonl shipped a 0.756
+    point through the LBR path, which had no final guard)."""
+    from robopoker_tpu.serving.aivat import _fit_delta, guard_corrected
+
+    rng = np.random.default_rng(3)
+    raw = rng.normal(size=512)
+    # an "anti-correction" that doubles the variance
+    inflating = raw + rng.normal(scale=2.0, size=512)
+    col, red, fell_back = guard_corrected(raw, inflating)
+    assert fell_back and red == 1.0
+    assert np.array_equal(col, raw)
+    # a genuinely good correction passes through untouched
+    good = raw * 0.1 + rng.normal(scale=0.05, size=512)
+    col, red, fell_back = guard_corrected(raw, good)
+    assert not fell_back and red > 1.0
+    assert np.array_equal(col, good)
+    # end-to-end: _fit_delta with pure-noise channels must report
+    # reduction >= 1.0 (the cross-fit can only break even, never inflate)
+    X = rng.normal(scale=3.0, size=(512, 3))
+    d = _fit_delta(raw, X)
+    assert d.reduction >= 1.0
