@@ -82,13 +82,17 @@ def make_resolve_step(
     sampling_hp: SamplingHyperParams = SamplingHyperParams(),
     warmstart_hp: WarmstartHyperParams = WarmstartHyperParams(),
     menu: np.ndarray | None = None,
+    multi: bool = False,
 ):
     """Build the jitted subgame re-solve epoch.
 
     Returns ``step(local, blueprint, head, hero_seat, probs, world_of,
     wweights, key) -> local`` where ``head`` is the observed decision
     state (batch of 1, replicated), ``probs``/``world_of``/``wweights``
-    come from the posterior module.
+    come from the posterior module. With ``multi=True`` the returned
+    function takes a trailing ``n`` (int32) and runs n epochs in one
+    device dispatch (dynamic fori_loop trip count — one compile serves
+    every chunk size).
     """
     from ..kicker.edges import MENU_PLURIBUS
     from ..deuce.observation import ALL_POCKETS
@@ -697,16 +701,35 @@ def make_resolve_step(
     def world_broadcast(world, reps):
         return jnp.repeat(world, reps, total_repeat_length=world.shape[0] * reps)
 
+    if multi:
+        # chunked re-solve: run `n` epochs in ONE dispatch (dynamic trip
+        # count → while_loop lowering, one compile for every chunk
+        # size). Round-4 measured ~240 ms/epoch at ~80 ms device time —
+        # per-dispatch tunnel RTT dominates, so chunking multiplies
+        # iterations-in-budget (VERDICT r4 #2). Randomness folds the
+        # epoch counter inside `step`, so re-passing the same key per
+        # iteration matches the unchunked loop exactly.
+        single = step
+
+        def step(local, blueprint, head, hero_seat, probs,
+                 world_of, wweights, key, n):
+            return jax.lax.fori_loop(
+                0, n,
+                lambda i, loc: single(loc, blueprint, head, hero_seat,
+                                      probs, world_of, wweights, key),
+                local)
+
     btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
     if btree is None:
         return jax.jit(step)
 
     def step_with_tables(local, blueprint, head, hero_seat, probs,
-                         world_of, wweights, key, btree_arg):
+                         world_of, wweights, key, *rest):
+        *rest, btree_arg = rest
         _bound[0] = bucket_fn.bind(btree_arg)
         try:
             return step(local, blueprint, head, hero_seat, probs,
-                        world_of, wweights, key)
+                        world_of, wweights, key, *rest)
         finally:
             _bound[0] = bucket_fn
 
@@ -766,3 +789,67 @@ def harvest_blend(local: InfoTable, blueprint: InfoTable, head: G.TableState,
     mixed = blend_w * refined + (1.0 - blend_w) * bp_sigma
     mixed = np.where(legal0, mixed, 0.0)
     return mixed / max(mixed.sum(), 1e-30)
+
+
+def make_harvest_fn(bucket_fn, menu: np.ndarray | None = None,
+                    n_worlds: int = N_WORLDS,
+                    hp: SubgameHyperParams = SubgameHyperParams()):
+    """Fused device-side harvest+blend (same math as ``harvest_blend``)
+    returning the final [9] mixed policy in ONE dispatch / ONE fetch.
+
+    The eager ``harvest_blend`` issues ~10 scalar fetches through the
+    tunnel (~100-150 ms each on the remote runtime) — it alone ate most
+    of the round-4 budget overshoot (elapsed 5.6-6.0 s vs the 5.0 s
+    budget, docs/resolve_latency.md). Lookup tables thread as jit
+    arguments via the usual ``_bound`` rebind (HLO-constant trap)."""
+    from ..kicker.edges import MENU_PLURIBUS
+
+    MENU = jnp.asarray(MENU_PLURIBUS if menu is None else menu)
+    _bound = [bucket_fn]
+
+    def harvest(local: InfoTable, blueprint: InfoTable, head):
+        idx = G.actor_idx(head)
+        hole = jnp.take_along_axis(
+            head.hole, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        bucket = _bound[0](hole.astype(jnp.int32),
+                           head.board.astype(jnp.int32), head.street)
+        legal = G.legal_cols(head, MENU)
+        cmask = (legal * (1 << jnp.arange(N_COLS))).sum(1).astype(jnp.int32)
+        sub = G.packed_subgame(head)
+        klo, khi = make_key(bucket, sub, cmask)
+        bp_row, _ = probe_rows(blueprint.key_lo, blueprint.key_hi, klo, khi)
+        bp_sigma = averaged(blueprint.weight[bp_row], legal)[0]
+
+        wlo = klo[0] ^ (jnp.arange(n_worlds, dtype=jnp.int32)
+                        * jnp.int32(0x9E3779B))
+        rows, _ = probe_rows(local.key_lo, local.key_hi, wlo,
+                             jnp.broadcast_to(khi[0], (n_worlds,)))
+        w_sum = local.weight[rows].sum(0)
+        v_sum = local.visits[rows].sum().astype(jnp.float32)
+
+        legal0 = legal[0]
+        refined = jnp.where(legal0, jnp.maximum(w_sum, 0.0), 0.0)
+        z = refined.sum()
+        refined = jnp.where(z > 0, refined / jnp.maximum(z, 1e-30), bp_sigma)
+        blend_w = v_sum / (v_sum + hp.visit_threshold)
+        mixed = blend_w * refined + (1.0 - blend_w) * bp_sigma
+        mixed = jnp.where(legal0, mixed, 0.0)
+        return mixed / jnp.maximum(mixed.sum(), 1e-30)
+
+    btree = bucket_fn.tree() if hasattr(bucket_fn, "tree") else None
+    if btree is None:
+        j = jax.jit(harvest)
+        fn = lambda local, blueprint, head: np.asarray(
+            j(local, blueprint, head))
+        return fn
+
+    def harvest_with_tables(local, blueprint, head, btree_arg):
+        _bound[0] = bucket_fn.bind(btree_arg)
+        try:
+            return harvest(local, blueprint, head)
+        finally:
+            _bound[0] = bucket_fn
+
+    jitted = jax.jit(harvest_with_tables)
+    return lambda local, blueprint, head: np.asarray(
+        jitted(local, blueprint, head, btree))

@@ -150,3 +150,52 @@ def test_resolve_with_frontier_picks(blueprint):
     mass_lo = np.abs(r[:, :4]).sum(axis=1)
     mass_hi = np.abs(r[:, 4:]).sum(axis=1)
     assert ((mass_lo > 0) & (mass_hi == 0)).any()
+
+
+def test_resolve_multi_step_matches_single(blueprint):
+    """Chunked multi-dispatch (multi=True, dynamic trip count) must be
+    BIT-IDENTICAL to the same number of single-step dispatches — the
+    chunking is a pure dispatch-latency optimization (VERDICT r4 #2)."""
+    head = root(jax.random.PRNGKey(3), 1)
+    probs = np.full(1326, 1.0 / 1326, np.float32)
+    world = belief_partition(probs, 4)
+    ww = world_weights(probs, world, 4)
+    cfg = ResolveConfig(batch=8, level_cap=16, cap=64, max_levels=3,
+                        roll_steps=3, table_log2=12)
+    step1 = make_resolve_step(proxy_bucket, cfg)
+    stepn = make_resolve_step(proxy_bucket, cfg, multi=True)
+    key = jax.random.PRNGKey(7)
+    args = (blueprint, head, jnp.int32(0), jnp.asarray(probs),
+            jnp.asarray(world), jnp.asarray(ww), key)
+    a = init_table(12)
+    for _ in range(5):
+        a = step1(a, *args)
+    b = stepn(init_table(12), *args, jnp.int32(5))
+    assert int(b.epoch) == 5
+    for name in ("regret", "weight", "payoff", "visits",
+                 "key_lo", "key_hi"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+            err_msg=name)
+
+
+def test_fused_harvest_matches_harvest_blend(blueprint):
+    """make_harvest_fn (one dispatch / one fetch) reproduces the eager
+    harvest_blend policy."""
+    from robopoker_tpu.subgame.solver import make_harvest_fn
+
+    head = root(jax.random.PRNGKey(3), 1)
+    probs = np.full(1326, 1.0 / 1326, np.float32)
+    world = belief_partition(probs, 4)
+    ww = world_weights(probs, world, 4)
+    cfg = ResolveConfig(batch=16, level_cap=24, cap=96, max_levels=3,
+                        roll_steps=3, table_log2=12)
+    step = make_resolve_step(proxy_bucket, cfg)
+    local = init_table(12)
+    for _ in range(3):
+        local = step(
+            local, blueprint, head, jnp.int32(0), jnp.asarray(probs),
+            jnp.asarray(world), jnp.asarray(ww), jax.random.PRNGKey(1))
+    eager = harvest_blend(local, blueprint, head, proxy_bucket, 0)
+    fused = make_harvest_fn(proxy_bucket)(local, blueprint, head)
+    np.testing.assert_allclose(fused, eager, rtol=1e-5, atol=1e-7)
