@@ -114,6 +114,10 @@ def main(argv=None):
     l.add_argument("--scenarios", default=None)
     l.add_argument("--workdir", default="artifacts")
     l.add_argument("--abstraction", default=None)
+    l.add_argument("--why", action="store_true",
+                   help="append the per-failing-case table-row probe "
+                        "(visits/regret/policy + epoch-bound-vs-"
+                        "structural verdict)")
 
     sb = sub.add_parser("slumbot", help="play the flagship against "
                                         "slumbot.com (ref: spar binary)")
@@ -260,7 +264,8 @@ def main(argv=None):
         scen = args.scenarios or str(
             pathlib.Path(__file__).parent / "serving" / "scenarios.json"
         )
-        md, ok = litmus.run(Blueprint(session.table, bucket_fn=bucket), scen)
+        md, ok = litmus.run(Blueprint(session.table, bucket_fn=bucket), scen,
+                            why=getattr(args, "why", False))
         print(md)
         return 0 if ok else 1
 

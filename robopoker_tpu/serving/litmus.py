@@ -218,8 +218,104 @@ def render(results: list[CaseResult]) -> str:
     return "\n".join(lines)
 
 
-def run(policy: Blueprint, scenario_path: str) -> tuple[str, bool]:
+def probe_case(policy: Blueprint, hand: str, history: list,
+               hero_seat: int) -> dict:
+    """The trained-table row behind one litmus decision: visits,
+    per-edge regret, averaged policy, and whether the probe ladder
+    actually resolved the key (VERDICT r4 #9 — the per-case 'why')."""
+    import jax.numpy as jnp
+
+    from ..kicker import game as G
+    from ..mccfr.engine import averaged
+    from ..nlhe.table import N_COLS, make_key, probe_rows
+
+    w = _witness(hand, history, hero_seat)
+    head, _, _ = policy.head_state(w)
+    menu = jnp.asarray(policy.menu)
+    idx = G.actor_idx(head)
+    hole = jnp.take_along_axis(
+        head.hole, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    bucket = policy.bucket_fn(
+        hole.astype(jnp.int32), head.board.astype(jnp.int32), head.street)
+    legal = G.legal_cols(head, menu)
+    cmask = (legal * (1 << jnp.arange(N_COLS))).sum(1).astype(jnp.int32)
+    klo, khi = make_key(bucket, G.packed_subgame(head), cmask)
+    table = policy.table
+    row, hit = probe_rows(table.key_lo, table.key_hi, klo, khi)
+    r = int(np.asarray(row)[0])
+    return {
+        "row": r,
+        "hit": bool(np.asarray(hit)[0]) if hasattr(hit, "shape") else True,
+        "visits": int(np.asarray(table.visits[r])),
+        "bucket": int(np.asarray(bucket)[0]),
+        "regret": np.asarray(table.regret[r]).round(1).tolist(),
+        "policy": np.asarray(
+            averaged(table.weight[r][None], legal[0][None]))[0]
+        .round(4).tolist(),
+        "legal": np.asarray(legal[0]).astype(int).tolist(),
+    }
+
+
+def why_report(policy: Blueprint, doc: dict,
+               results: list[CaseResult],
+               visit_floor: int = 64) -> str:
+    """Markdown appendix annotating each FAILING case with the table
+    rows it read and an epoch-bound-vs-structural verdict
+    (ref: crates/litmus/src/evaluate.rs:43-60 — the reference prints
+    policy context on failure; this adds the learner-state view)."""
+    hands = doc.get("hands", {})
+    histories = doc.get("histories", {})
+
+    def resolve_history(ref):
+        node = histories
+        for part in ref.split("."):
+            node = node[part]
+        return node["events"], node.get("hero_seat", 0)
+
+    by_name = {}
+    for case in expand(doc):
+        by_name[case["name"]] = case
+    lines = ["", "## Why (failing cases)", "",
+             "| case | hand | visits | verdict | regret (legal) | policy |",
+             "|---|---|---|---|---|---|"]
+    for r in results:
+        if r.passed or r.name not in by_name:
+            continue
+        case = by_name[r.name]
+        events, hero_seat = resolve_history(case["history"])
+        case_hands = case.get("hands") or [case.get("hand")]
+        for h in case_hands:
+            if h is None or h not in hands:
+                continue
+            try:
+                p = probe_case(policy, hands[h]["cards"], events, hero_seat)
+            except Exception as exc:  # noqa: BLE001
+                lines.append(f"| {r.name} | {h} | — | probe error: {exc} "
+                             f"| — | — |")
+                continue
+            if not p["hit"]:
+                verdict = "UNRESOLVED KEY (probe miss — never trained)"
+            elif p["visits"] == 0:
+                verdict = "epoch-bound (row never visited)"
+            elif p["visits"] < visit_floor:
+                verdict = f"epoch-bound (under-visited: {p['visits']})"
+            else:
+                verdict = "structural (well-visited, mis-valued)"
+            reg = [v for v, l in zip(p["regret"], p["legal"]) if l]
+            pol = [v for v, l in zip(p["policy"], p["legal"]) if l]
+            lines.append(
+                f"| {r.name} | {h} | {p['visits']} | {verdict} | "
+                f"{reg} | {pol} |")
+    return "\n".join(lines)
+
+
+def run(policy: Blueprint, scenario_path: str,
+        why: bool = False) -> tuple[str, bool]:
     """CLI entry: (markdown, all_passed) — nonzero exit on failure
     (ref: bin/litmus)."""
-    results = evaluate(policy, load(scenario_path))
-    return render(results), all(r.passed for r in results)
+    doc = load(scenario_path)
+    results = evaluate(policy, doc)
+    md = render(results)
+    if why and not all(r.passed for r in results):
+        md += "\n" + why_report(policy, doc, results)
+    return md, all(r.passed for r in results)
