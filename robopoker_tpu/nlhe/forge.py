@@ -324,6 +324,11 @@ class FastSession:
                 self.metrics.inc("mccfr_dropped", int(m["dropped"]))
             if "fallbacks" in m:
                 self.metrics.inc("mccfr_fallbacks", int(m["fallbacks"]))
+            if "pruned_branches" in m:
+                # pruning-activation telemetry (VERDICT r4 #8)
+                self.metrics.inc("mccfr_pruned_branches",
+                                 int(m["pruned_branches"]))
+                self.metrics.set("mccfr_floor_rows", int(m["floor_rows"]))
             if (self.adaptive_caps and self.parity_steps
                     and self.mesh is None and "level_emit" in m):
                 self._adaptive_observe(m)

@@ -377,7 +377,7 @@ def make_nlhe_step(
             narrow early/late levels stop paying the peak level's lanes."""
             (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
              valid, row_of, klo_of, khi_of, buck_of, legal_of, branch_of,
-             n_slots, dropped, fallbacks, level_live, level_emit) = meta
+             n_slots, dropped, fallbacks, pruned, level_live, level_emit) = meta
             work_states, work_tree, work_valid, work_slot = work
             w_in = work_tree.shape[0]
             level_live = level_live.at[lvl].set(work_valid.sum())
@@ -408,6 +408,9 @@ def make_nlhe_step(
                     branch = jnp.where(no_prune[:, None], legal, keep)
                 else:
                     branch = keep
+                # pruning-activation telemetry (VERDICT r4 #8): legal
+                # branches masked off by regret-based pruning this epoch
+                pruned = pruned + (legal & ~branch).sum()
             else:
                 branch = legal
 
@@ -490,17 +493,18 @@ def make_nlhe_step(
 
             meta = (parent, pcol, ratio_in, reach, is_term, term_value,
                     level_of, valid, row_of, klo_of, khi_of, buck_of,
-                    legal_of, branch_of, n_slots, dropped, fallbacks,
+                    legal_of, branch_of, n_slots, dropped, fallbacks, pruned,
                     level_live, level_emit)
             return meta, (st, next_tree, next_valid & ~term, next_slot)
 
         fallbacks = jnp.zeros((), jnp.int32)
+        pruned = jnp.zeros((), jnp.int32)
         level_live = jnp.zeros(C.max_levels, jnp.int32)
         level_emit = jnp.zeros(C.max_levels, jnp.int32)
         buck_of = jnp.zeros((B, CAP), jnp.int32)
         meta = (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
                 valid, row_of, klo_of, khi_of, buck_of, legal_of, branch_of,
-                n_slots, dropped, fallbacks, level_live, level_emit)
+                n_slots, dropped, fallbacks, pruned, level_live, level_emit)
         root_work = (roots, jnp.arange(B, dtype=jnp.int32), ~term0,
                      jnp.zeros(B, jnp.int32))
 
@@ -542,7 +546,7 @@ def make_nlhe_step(
 
         (parent, pcol, ratio_in, reach, is_term, term_value, level_of,
          valid, row_of, klo_of, khi_of, buck_of, legal_of, branch_of,
-         n_slots, dropped, fallbacks, level_live, level_emit) = meta
+         n_slots, dropped, fallbacks, pruned, level_live, level_emit) = meta
         work_states, work_tree, work_valid, work_slot = work
         w_tail = work_tree.shape[0]
         SPILLW = B * CAP
@@ -767,6 +771,10 @@ def make_nlhe_step(
             "terminal_frac": (valid & is_term).sum() / jnp.maximum(valid.sum(), 1),
             "dropped": dropped,
             "fallbacks": fallbacks,
+            # regret-based pruning telemetry (ref: pruning.rs:37-60)
+            "pruned_branches": pruned,
+            "floor_rows": (new_table.regret
+                           <= training_hp.regret_min * 0.999).sum(),
             "unfinished_tail": unfinished.sum(),
             "touched_rows": (agg[:, 4 * N_COLS] > 0).sum(),
             # frontier width entering each level: the data that sizes

@@ -21,6 +21,7 @@ COUNTERS = (
     # coverage-loss accounting: worklist entries dropped at a level cap
     # (bias risk if >~1% of nodes) and probe-ladder exhaustions
     "mccfr_dropped", "mccfr_fallbacks", "mccfr_cap_recompiles",
+    "mccfr_pruned_branches",
     "kmeans_iterations", "subgame_decisions", "subgame_iterations",
     "http_requests", "db_ops", "slumbot_hands",
 )
@@ -29,6 +30,7 @@ GAUGES = (
     "mccfr_infoset_size", "kmeans_drift", "kmeans_reassignment",
     "kmeans_phase_ms", "kmeans_cluster_size", "subgame_decision_ms",
     "subgame_relative_regret", "subgame_policy_deviation",
+    "mccfr_floor_rows",
 )
 
 
