@@ -111,8 +111,13 @@ def build_app(blueprint, resolver=None, workdir="artifacts", artifacts=None,
                 # combined: worlds + L×L frontier pick game
                 "full": dataclasses.replace(base, frontier_picks=True),
             }[kind]
+            # portal parity: the reference's /strategy/{depth,world,full}
+            # handlers call adapt_* directly at any street — preflop
+            # delegation lives in the parlor BRAINS, not the portal
+            # (ref: portal strategy handlers vs players/brain.rs:58-71)
             _resolvers[kind] = Resolver(
-                blueprint, cfg, use_worlds=(kind != "depth"))
+                blueprint, cfg, use_worlds=(kind != "depth"),
+                preflop_blueprint=False)
         return _resolvers[kind]
 
     async def solve_kind(request, kind: str):

@@ -145,6 +145,13 @@ class Resolver:
     # reference's depth-only solver (Kind::Depth / adapt_leaf without
     # the World wrapper); True is the safe world-partitioned family
     use_worlds: bool = True
+    # Reference parity (ref: crates/parlor/src/players/brain.rs:58-71:
+    # "Preflop → blueprint lookup, regardless of subgame layers"): the
+    # reference NEVER re-solves preflop decisions — that is how it
+    # reaches 3-4K hands/hr against slumbot with a 5 s postflop budget.
+    # False restores re-solve-everywhere (the latency harness uses it
+    # to measure preflop spots).
+    preflop_blueprint: bool = True
 
     def __post_init__(self):
         from ..nlhe.table import init_table
@@ -171,6 +178,12 @@ class Resolver:
         measured harvest cost so policy extraction lands INSIDE the
         5 s budget instead of after it."""
         head, probs, live = self.blueprint.head_state(witness)
+        if self.preflop_blueprint and int(np.asarray(head.street)[0]) == 0:
+            t0 = time.monotonic()
+            policy = self.blueprint.distribution(witness)
+            return {"policy": policy, "iterations": 0,
+                    "elapsed_ms": int((time.monotonic() - t0) * 1000),
+                    "delegated": "preflop-blueprint"}
         if self.use_worlds:
             world = belief_partition(probs)
             ww = world_weights(probs, world)

@@ -83,7 +83,10 @@ def main():
 
     rows = []
     for family, use_worlds in (("adapt_leaf", False), ("adapt_full", True)):
-        res = Resolver(bp, use_worlds=use_worlds)
+        # preflop_blueprint=False: this harness measures re-solve cost
+        # at EVERY street, including the preflop spot the serving path
+        # now delegates to the blueprint (reference brain.rs parity)
+        res = Resolver(bp, use_worlds=use_worlds, preflop_blueprint=False)
         res.budget_s = args.budget_s
         for name, spec in SPOTS.items():
             w = Witness(hero_seat=spec["hero_seat"],

@@ -91,10 +91,15 @@ def main():
     budget = args.budget_ms / 1000.0
     arms = {
         "blueprint": bp,
+        # preflop_blueprint=False: this harness asks whether re-solving
+        # changes litmus decisions at EVERY spot, including the preflop
+        # rows the serving path delegates (brain.rs parity)
         "adapt_leaf": _ResolverPolicy(Resolver(
-            bp, ResolveConfig(frontier_picks=False), budget_s=budget)),
+            bp, ResolveConfig(frontier_picks=False), budget_s=budget,
+            preflop_blueprint=False)),
         "adapt_full": _ResolverPolicy(Resolver(
-            bp, ResolveConfig(frontier_picks=True), budget_s=budget)),
+            bp, ResolveConfig(frontier_picks=True), budget_s=budget,
+            preflop_blueprint=False)),
     }
     if args.arms:
         keep = [a.strip() for a in args.arms.split(",")]
