@@ -411,10 +411,38 @@ def _selfplay_kernel(table: InfoTable, bucket_fn, menu, n: int,
         wide = G.deal_board(wide, jax.random.fold_in(key, 555 + j))
     eq_ev = G.settle(wide)[:, 0].reshape(M, n).mean(axis=0)
     corr_r = jnp.where(locked, eq_ev - pnl, 0.0)
-    # three zero-mean channels (action / open-pot deal / locked runout):
-    # the caller fits per-channel coefficients, which dominates a single
-    # shared α when the channels' baseline qualities differ this much
-    channels = jnp.stack([corr_a, corr_c, corr_r], axis=1)
+
+    # --- hole-deal control variate (round 5: the residual channel the
+    # 2.23× analysis named) --------------------------------------------
+    # Which POCKETS each seat was dealt is the luck no prior channel
+    # sees (action terms remove sampling luck, deal terms remove board
+    # luck, the runout term removes all-in coinflips). Exactly-zero-mean
+    # construction: the deal (h,v) and its seat-swap (v,h) are equally
+    # likely, so X = ½·(g(v,h) − g(h,v)) with g = checkdown-settle
+    # expectation has E[X] = 0 by exchangeability — no estimated
+    # constant to bias the mean. Paired MC runouts (same fold_in keys;
+    # identical hole SET ⇒ identical deck exclusions ⇒ identical boards)
+    # cancel board noise inside the difference, leaving the pure
+    # hole-strength edge. The cross-fit in _fit_delta scales it.
+    Mh = 128
+    root = G.root(key, n)              # same key ⇒ bit-identical roots
+    swapped = root._replace(hole=root.hole[:, ::-1])
+    rep_h = lambda a: jnp.tile(a, (Mh,) + (1,) * (a.ndim - 1))
+    wr = jax.tree.map(rep_h, root)
+    ws = jax.tree.map(rep_h, swapped)
+    for j in range(3):
+        kk = jax.random.fold_in(key, 777 + j)
+        wr = G.deal_board(wr, kk)
+        ws = G.deal_board(ws, kk)
+    g_hv = G.settle(wr)[:, 0].reshape(Mh, n).mean(axis=0)
+    g_vh = G.settle(ws)[:, 0].reshape(Mh, n).mean(axis=0)
+    corr_h = 0.5 * (g_vh - g_hv)
+
+    # four zero-mean channels (action / open-pot deal / locked runout /
+    # hole deal): the caller fits per-channel coefficients, which
+    # dominates a single shared α when the channels' baseline qualities
+    # differ this much
+    channels = jnp.stack([corr_a, corr_c, corr_r, corr_h], axis=1)
     return pnl, channels, finished
 
 
