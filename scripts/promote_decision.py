@@ -50,7 +50,8 @@ def json_lines_from_log(path):
     if not p.exists():
         return []
     out = []
-    for l in p.read_text().splitlines():
+    text = p.read_text()
+    for l in text.splitlines():
         l = l.strip()
         if l.startswith("{") and l.endswith("}"):
             try:
@@ -58,6 +59,18 @@ def json_lines_from_log(path):
             except json.JSONDecodeError:
                 print(f"WARNING: JSON-looking line in {path} failed to "
                       f"parse", file=sys.stderr)
+    if not out:
+        # pretty-printed (multi-line) objects: balanced raw_decode scan
+        dec = json.JSONDecoder()
+        i = 0
+        while (i := text.find("{", i)) != -1:
+            try:
+                obj, end = dec.raw_decode(text, i)
+                if isinstance(obj, dict):
+                    out.append(obj)
+                i = end
+            except json.JSONDecodeError:
+                i += 1
     return out
 
 
