@@ -199,7 +199,10 @@ class Resolver:
             elapsed = time.monotonic() - t0
             # reserve: the harvest fetch + one dispatch's slack
             remaining = self.budget_s - elapsed - 1.2 * self._harvest_s
-            if remaining <= (self._iter_s or 0.05):
+            # at least one epoch always runs (the reference's spend
+            # steps before checking the deadline) — a sub-second test
+            # budget must still produce a refined policy
+            if it > 0 and remaining <= (self._iter_s or 0.05):
                 break
             if self._iter_s == 0.0:
                 chunk = 1   # first epoch calibrates the EMA (compile paid here)
