@@ -241,11 +241,14 @@ def probe_case(policy: Blueprint, hand: str, history: list,
     cmask = (legal * (1 << jnp.arange(N_COLS))).sum(1).astype(jnp.int32)
     klo, khi = make_key(bucket, G.packed_subgame(head), cmask)
     table = policy.table
-    row, hit = probe_rows(table.key_lo, table.key_hi, klo, khi)
+    # probe_rows' second output is the FALLBACK flag (True = the probe
+    # ladder exhausted without resolving the key — the trainer counts it
+    # as `fallbacks`), not a hit flag
+    row, fb = probe_rows(table.key_lo, table.key_hi, klo, khi)
     r = int(np.asarray(row)[0])
     return {
         "row": r,
-        "hit": bool(np.asarray(hit)[0]) if hasattr(hit, "shape") else True,
+        "hit": not bool(np.asarray(fb)[0]) if hasattr(fb, "shape") else True,
         "visits": int(np.asarray(table.visits[r])),
         "bucket": int(np.asarray(bucket)[0]),
         "regret": np.asarray(table.regret[r]).round(1).tolist(),
