@@ -33,6 +33,13 @@ def main():
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--full", action="store_true",
                     help="adapt_full (worlds + pick game); default depth-only")
+    ap.add_argument("--sessions", type=int, default=1,
+                    help="concurrent sessions (threaded) — the accounting "
+                         "the reference's 3-4K H/hr uses: spar/runtime.rs "
+                         "runs depth*4 = 4 concurrent CFR solves to fill "
+                         "idle cores during each solve's wait; here "
+                         "concurrent sessions fill the device queue "
+                         "during host/tunnel gaps")
     ap.add_argument("--out", default="docs/search_handrate.md")
     args = ap.parse_args()
 
@@ -59,43 +66,76 @@ def main():
     table = load_compact(
         pathlib.Path(args.workdir) / "blueprint_compact.npz", run)
     bp = Blueprint(table, bucket)
-    res = Resolver(bp, ResolveConfig(frontier_picks=args.full),
-                   budget_s=args.budget_s, use_worlds=args.full)
-    hero = Agent(res, use_dirac=True)
-    villain = Agent(bp, use_dirac=True)
-    engine = Engine([hero, villain], seed=11)
 
-    searched = []
-    n_iters = []
+    def make_session(seed):
+        res = Resolver(bp, ResolveConfig(frontier_picks=args.full),
+                       budget_s=args.budget_s, use_worlds=args.full)
+        hero = Agent(res, use_dirac=True)
+        villain = Agent(bp, use_dirac=True)
+        engine = Engine([hero, villain], seed=seed)
 
-    orig_solve = res.solve
+        orig_solve = res.solve
 
-    def counting_solve(w):
-        out = orig_solve(w)
-        if out.get("delegated") is None:
-            counting_solve.count += 1
-            n_iters.append(out["iterations"])
-        return out
+        def counting_solve(w):
+            out = orig_solve(w)
+            if out.get("delegated") is None:
+                counting_solve.count += 1
+                counting_solve.iters.append(out["iterations"])
+            return out
 
-    counting_solve.count = 0
-    res.solve = counting_solve
+        counting_solve.count = 0
+        counting_solve.iters = []
+        res.solve = counting_solve
+        return engine, counting_solve
 
-    # warm the programs on one untimed hand
-    engine.play_hand(999_983)
-    counting_solve.count = 0
-    n_iters.clear()
+    sessions = [make_session(11 + s) for s in range(args.sessions)]
 
-    t0 = time.time()
+    # warm the programs on one untimed hand (shared compile cache)
+    sessions[0][0].play_hand(999_983)
+    sessions[0][1].count = 0
+    sessions[0][1].iters.clear()
+
     per_hand = []
-    for h in range(args.hands):
-        before = counting_solve.count
-        engine.play_hand(h)
-        per_hand.append(counting_solve.count - before)
+    n_iters = []
+    t0 = time.time()
+    if args.sessions == 1:
+        engine, counter = sessions[0]
+        for h in range(args.hands):
+            before = counter.count
+            engine.play_hand(h)
+            per_hand.append(counter.count - before)
+        total_hands = args.hands
+    else:
+        # the reference's accounting: N concurrent sessions share the
+        # device; each session's host/tunnel gaps are filled by the
+        # others' dispatches (spar/runtime.rs:20-24)
+        import threading
+
+        lock = threading.Lock()
+
+        def run_session(idx):
+            engine, counter = sessions[idx]
+            for h in range(args.hands):
+                before = counter.count
+                engine.play_hand(1000 * idx + h)
+                with lock:
+                    per_hand.append(counter.count - before)
+
+        threads = [threading.Thread(target=run_session, args=(i,))
+                   for i in range(args.sessions)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        total_hands = args.hands * args.sessions
     wall = time.time() - t0
-    hands_hr = args.hands / wall * 3600.0
+    for _, counter in sessions:
+        n_iters.extend(counter.iters)
+    hands_hr = total_hands / wall * 3600.0
 
     rec = {
-        "hands": args.hands,
+        "hands": total_hands,
+        "sessions": args.sessions,
         "wall_s": round(wall, 1),
         "hands_per_hr": round(hands_hr, 1),
         "budget_s": args.budget_s,
