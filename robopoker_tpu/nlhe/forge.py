@@ -225,6 +225,14 @@ class FastSession:
             chips, cchips = [], []
             n_batches = max(1, self.lbr_hands // self.lbr_batch)
             for b in range(n_batches):
+                if interrupt.interrupted():
+                    # TRAIN_DURATION / SIGTERM fired mid-point: abort so
+                    # the exit snapshot runs inside the supervisor's
+                    # post-deadline grace (a full point is ~20 min, the
+                    # grace ~16 min)
+                    print("in-train lbr: interrupted — aborting point",
+                          flush=True)
+                    return
                 pnl, cor, done = play.jitted(
                     jax.random.fold_in(self._lbr_key, b),
                     jnp.int32(b % 2), self.table, *play.extra_args)
