@@ -7,17 +7,17 @@ timeout 1080 python3 scripts/resolve_latency.py --tpu \
   --workdir artifacts/r2 --abstraction artifacts/abstraction_full \
   --budget-s 5 > logs/r5_resolve_latency2.log 2>&1
 echo "latency2 rc=$?"
-timeout 2100 python3 scripts/resolve_value.py --tpu \
+timeout 1800 python3 scripts/resolve_value.py --tpu \
   --workdir artifacts/r4 --abstraction artifacts/abstraction_full \
   --budget-ms 5000 --arms blueprint,adapt_full \
   --out docs/resolve_value_full.md > logs/r5_resolve_value2.log 2>&1
 echo "value2 rc=$?"
 echo "WINDOW2 DONE"
-timeout 1500 python3 scripts/search_handrate.py --tpu \
+timeout 700 python3 scripts/search_handrate.py --tpu \
   --workdir artifacts/r2 --abstraction artifacts/abstraction_full \
   --hands 24 > logs/r5_handrate.log 2>&1
 echo "handrate rc=$?"
-timeout 1500 python3 scripts/search_handrate.py --tpu \
+timeout 700 python3 scripts/search_handrate.py --tpu \
   --workdir artifacts/r2 --abstraction artifacts/abstraction_full \
   --hands 12 --sessions 4 --out docs/search_handrate_x4.md \
   > logs/r5_handrate4.log 2>&1

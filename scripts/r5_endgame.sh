@@ -7,8 +7,10 @@ cd /root/repo
 echo "endgame: waiting on supervisor pid $SUP_PID"
 while kill -0 "$SUP_PID" 2>/dev/null; do sleep 30; done
 echo "endgame: supervisor exited at $(date -u)"
-# chip: new-resolver latency + value + handrate (serialized on device)
-bash scripts/r5_chip_window2.sh > logs/r5_window2.log 2>&1 &
+# chip: the official bench FIRST (driver-scored; warm cache, quiet chip),
+# then the new-resolver window
+( timeout 2400 python3 bench.py 2>&1 | tee logs/bench_r5.log
+  bash scripts/r5_chip_window2.sh > logs/r5_window2.log 2>&1 ) &
 CHIP=$!
 # cpu: litmus + final LBR point + arena (niced below the chip jobs' host threads)
 nice -n 10 bash -c '
@@ -26,9 +28,7 @@ nice -n 10 bash -c '
 CPU=$!
 wait $CHIP
 echo "endgame: chip window2 done $(date -u)"
-# bench needs a quiet chip — run after window2
-timeout 2400 python3 bench.py 2>&1 | tee logs/bench_r5.log
-XLA_FLAGS=--xla_force_host_platform_device_count=8 timeout 900 \
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS= timeout 900 \
     python3 -c "import __graft_entry__; __graft_entry__.dryrun_multichip(8)" \
     2>&1 | tee logs/dryrun_r5.log
 wait $CPU
