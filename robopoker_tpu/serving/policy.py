@@ -247,6 +247,104 @@ class Resolver:
         return self.solve(witness)["policy"]
 
 
+@dataclasses.dataclass
+class ResolverPool:
+    """Batched real-time re-solving: S simultaneous decisions advance in
+    lockstep through ONE device program per chunk (the TPU-native form
+    of the reference's concurrent sessions — spar/runtime.rs:20-24 runs
+    ``depth*4`` concurrent CFR solves to fill idle cores; here the
+    session axis is a batch dimension, so S subgames share every
+    dispatch instead of interleaving threads)."""
+
+    blueprint: Blueprint
+    config: ResolveConfig = ResolveConfig()
+    budget_s: float = SubgameHyperParams().decision_budget_ms / 1000.0
+    seed: int = 0
+    use_worlds: bool = True
+    preflop_blueprint: bool = True
+
+    def __post_init__(self):
+        from ..nlhe.table import init_table
+        from ..subgame.solver import make_harvest_pool, make_resolve_pool
+
+        self._pool = make_resolve_pool(self.blueprint.bucket_fn, self.config)
+        self._harvest = make_harvest_pool(self.blueprint.bucket_fn)
+        self._init = lambda: init_table(self.config.table_log2)
+        self._iter_s = 0.0
+        self._harvest_s = 0.25
+
+    def solve_many(self, witnesses: list) -> list[dict]:
+        """Re-solve S decisions inside ONE shared wall budget. Preflop
+        witnesses delegate to the blueprint (brain.rs parity); the rest
+        stack into [S]-leading pytrees and step together."""
+        import jax.tree as jt
+
+        out = [None] * len(witnesses)
+        work = []
+        for i, w in enumerate(witnesses):
+            head, probs, live = self.blueprint.head_state(w)
+            if (self.preflop_blueprint
+                    and int(np.asarray(head.street)[0]) == 0):
+                out[i] = {"policy": self.blueprint.distribution(w),
+                          "iterations": 0, "elapsed_ms": 0,
+                          "delegated": "preflop-blueprint"}
+                continue
+            if self.use_worlds:
+                world = belief_partition(probs)
+                ww = world_weights(probs, world)
+            else:
+                world = np.zeros_like(probs, dtype=np.int32)
+                ww = np.zeros(N_WORLDS, np.float32)
+                ww[0] = 1.0
+            work.append((i, w, head, probs, world, ww))
+        if not work:
+            return out
+        S = len(work)
+        stack = lambda parts: jt.map(lambda *a: jnp.stack(a), *parts)
+        heads = stack([h for _, _, h, _, _, _ in work])
+        seats = jnp.asarray([w.hero_seat for _, w, _, _, _, _ in work],
+                            jnp.int32)
+        probsS = jnp.asarray(np.stack([p for *_, p, _, _ in work]))
+        worldS = jnp.asarray(np.stack([wd for *_, wd, _ in work]))
+        wwS = jnp.asarray(np.stack([x for *_, x in work]))
+        locals_ = stack([self._init() for _ in range(S)])
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.PRNGKey(self.seed), jnp.arange(S))
+        t0 = time.monotonic()
+        it = 0
+        while True:
+            elapsed = time.monotonic() - t0
+            remaining = self.budget_s - elapsed - 1.2 * self._harvest_s
+            if it > 0 and remaining <= (self._iter_s or 0.05):
+                break
+            if self._iter_s == 0.0:
+                chunk = 1
+            else:
+                chunk = int(min(max(0.5 / self._iter_s, 1.0),
+                                remaining / (1.1 * self._iter_s), 256.0))
+                chunk = max(chunk, 1)
+            ti = time.monotonic()
+            locals_ = self._pool(locals_, self.blueprint.table, heads,
+                                 seats, probsS, worldS, wwS, keys,
+                                 jnp.int32(chunk))
+            it += chunk
+            int(locals_.epoch[0])          # honest fetch (remote runtime)
+            per = (time.monotonic() - ti) / chunk
+            if self._iter_s == 0.0 and chunk == 1 and per > 10.0:
+                continue
+            self._iter_s = per if self._iter_s == 0.0 \
+                else 0.5 * self._iter_s + 0.5 * per
+        th = time.monotonic()
+        pols = self._harvest(locals_, self.blueprint.table, heads)
+        self._harvest_s = 0.5 * self._harvest_s + 0.5 * (
+            time.monotonic() - th)
+        ms = int((time.monotonic() - t0) * 1000)
+        for s, (i, *_rest) in enumerate(work):
+            out[i] = {"policy": pols[s], "iterations": it,
+                      "elapsed_ms": ms}
+        return out
+
+
 def dirac(dist: np.ndarray) -> int:
     """Argmax action selection (ref: players/zoo.rs Dirac)."""
     return int(np.argmax(dist))

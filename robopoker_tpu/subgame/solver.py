@@ -791,6 +791,51 @@ def harvest_blend(local: InfoTable, blueprint: InfoTable, head: G.TableState,
     return mixed / max(mixed.sum(), 1e-30)
 
 
+def make_resolve_pool(bucket_fn, config: ResolveConfig = ResolveConfig(),
+                      **kw):
+    """Pooled re-solver: ONE dispatch advances S independent subgames
+    (vmap over the chunked multi-epoch step — bit-identical to stepping
+    each subgame alone, tests/test_subgame.py).
+
+    The TPU-native form of the reference's concurrent-session trick
+    (ref: crates/spar/src/runtime.rs:20-24 — ``depth*4`` runs 4 CFR
+    solves to fill idle cores during each solve's wait): instead of
+    thread interleaving, the session axis becomes a batch dimension, so
+    S decisions' rollouts share every dispatch. Returns
+    ``pool(locals, blueprint, heads, hero_seats, probs, world_of,
+    wweights, keys, n)`` where every per-subgame argument carries a
+    leading [S] axis and ``keys`` is [S, 2] (independent randomness per
+    session).
+    """
+    step = make_resolve_step(bucket_fn, config, multi=True, **kw)
+    inner = getattr(step, "jitted", step)
+    extra = getattr(step, "extra_args", ())
+    # vmap axes: local 0, blueprint shared, head 0, hero_seat 0,
+    # probs/world/ww 0, key 0, n shared, btree shared
+    axes = (0, None, 0, 0, 0, 0, 0, 0, None) + ((None,) * len(extra))
+    v = jax.jit(jax.vmap(inner, in_axes=axes))
+    fn = lambda locals_, bp, heads, seats, probs, world, ww, keys, n: v(
+        locals_, bp, heads, seats, probs, world, ww, keys, n, *extra)
+    fn.extra_args = extra
+    return fn
+
+
+def make_harvest_pool(bucket_fn, menu: np.ndarray | None = None,
+                      n_worlds: int = N_WORLDS,
+                      hp: SubgameHyperParams = SubgameHyperParams()):
+    """[S]-batched fused harvest: one dispatch / one fetch for a whole
+    pool of decisions (see ``make_harvest_fn``)."""
+    from ..kicker.edges import MENU_PLURIBUS
+
+    base = make_harvest_fn(bucket_fn, menu, n_worlds, hp)
+    if base.btree is None:
+        v = jax.jit(jax.vmap(base.inner, in_axes=(0, None, 0)))
+        return lambda locals_, bp, heads: np.asarray(v(locals_, bp, heads))
+    btree = base.btree
+    v = jax.jit(jax.vmap(base.inner, in_axes=(0, None, 0, None)))
+    return lambda locals_, bp, heads: np.asarray(v(locals_, bp, heads, btree))
+
+
 def make_harvest_fn(bucket_fn, menu: np.ndarray | None = None,
                     n_worlds: int = N_WORLDS,
                     hp: SubgameHyperParams = SubgameHyperParams()):
@@ -841,6 +886,7 @@ def make_harvest_fn(bucket_fn, menu: np.ndarray | None = None,
         j = jax.jit(harvest)
         fn = lambda local, blueprint, head: np.asarray(
             j(local, blueprint, head))
+        fn.inner, fn.btree = harvest, None
         return fn
 
     def harvest_with_tables(local, blueprint, head, btree_arg):
@@ -851,5 +897,7 @@ def make_harvest_fn(bucket_fn, menu: np.ndarray | None = None,
             _bound[0] = bucket_fn
 
     jitted = jax.jit(harvest_with_tables)
-    return lambda local, blueprint, head: np.asarray(
+    fn = lambda local, blueprint, head: np.asarray(
         jitted(local, blueprint, head, btree))
+    fn.inner, fn.btree = harvest_with_tables, btree
+    return fn

@@ -199,3 +199,67 @@ def test_fused_harvest_matches_harvest_blend(blueprint):
     eager = harvest_blend(local, blueprint, head, proxy_bucket, 0)
     fused = make_harvest_fn(proxy_bucket)(local, blueprint, head)
     np.testing.assert_allclose(fused, eager, rtol=1e-5, atol=1e-7)
+
+
+def test_resolver_pool_solves_many(blueprint):
+    """ResolverPool: S simultaneous decisions in one shared budget —
+    valid distributions for every witness, preflop delegation intact."""
+    from robopoker_tpu.serving.policy import Blueprint, ResolverPool, Witness
+
+    bp = Blueprint(blueprint)
+    pool = ResolverPool(
+        bp, ResolveConfig(batch=8, level_cap=16, cap=64, max_levels=3,
+                          roll_steps=3, table_log2=12),
+        budget_s=1.5, use_worlds=False)
+    ws = [
+        # preflop spot → delegated to the blueprint
+        Witness(hero_seat=0, hero_hole=np.array([48, 49]), events=[]),
+        # two distinct postflop spots → pooled re-solve
+        Witness(hero_seat=0, hero_hole=np.array([48, 35]),
+                events=[("col", 2), ("col", 1),
+                        ("deal", [45, 20, 8]), ("col", 1)]),
+        Witness(hero_seat=0, hero_hole=np.array([30, 31]),
+                events=[("col", 2), ("col", 1),
+                        ("deal", [10, 21, 40]), ("col", 1)]),
+    ]
+    outs = pool.solve_many(ws)
+    assert outs[0]["delegated"] == "preflop-blueprint"
+    assert outs[1]["iterations"] >= 1
+    assert outs[1]["iterations"] == outs[2]["iterations"]  # shared budget
+    for o in outs:
+        p = np.asarray(o["policy"])
+        assert p.shape == (9,) and abs(p.sum() - 1.0) < 1e-4
+        assert (p >= 0).all()
+    # pooled postflop policies differ across distinct spots
+    assert not np.allclose(outs[1]["policy"], outs[2]["policy"])
+
+
+def test_resolve_pool_matches_independent_solves(blueprint):
+    """make_resolve_pool is bit-identical to advancing each subgame
+    alone with its own key (the session axis is pure batching)."""
+    from robopoker_tpu.subgame.solver import make_resolve_pool
+
+    cfg = ResolveConfig(batch=8, level_cap=16, cap=64, max_levels=3,
+                        roll_steps=3, table_log2=12)
+    stepn = make_resolve_step(proxy_bucket, cfg, multi=True)
+    pool = make_resolve_pool(proxy_bucket, cfg)
+    S = 3
+    heads = [root(jax.random.PRNGKey(10 + s), 1) for s in range(S)]
+    probs = np.full((S, 1326), 1 / 1326, np.float32)
+    worlds = np.stack([belief_partition(probs[s], 4) for s in range(S)])
+    wws = np.stack([world_weights(probs[s], worlds[s], 4) for s in range(S)])
+    keys = jnp.stack([jax.random.fold_in(jax.random.PRNGKey(0), s)
+                      for s in range(S)])
+    stack = lambda parts: jax.tree.map(lambda *a: jnp.stack(a), *parts)
+    out = pool(stack([init_table(12) for _ in range(S)]), blueprint,
+               stack(heads), jnp.zeros(S, jnp.int32),
+               jnp.asarray(probs), jnp.asarray(worlds), jnp.asarray(wws),
+               keys, jnp.int32(4))
+    for s in range(S):
+        solo = stepn(init_table(12), blueprint, heads[s], jnp.int32(0),
+                     jnp.asarray(probs[s]), jnp.asarray(worlds[s]),
+                     jnp.asarray(wws[s]), keys[s], jnp.int32(4))
+        for name in ("regret", "weight", "visits", "key_lo", "key_hi"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(solo, name)),
+                np.asarray(getattr(out, name)[s]), err_msg=f"{s}:{name}")
