@@ -22,3 +22,7 @@ timeout 700 python3 scripts/search_handrate.py --tpu \
   --hands 12 --sessions 4 --out docs/search_handrate_x4.md \
   > logs/r5_handrate4.log 2>&1
 echo "handrate4 rc=$?"
+timeout 1200 python3 scripts/pool_rate.py --tpu \
+  --workdir artifacts/r2 --abstraction artifacts/abstraction_full \
+  --sessions 4 > logs/r5_poolrate.log 2>&1
+echo "poolrate rc=$?"
