@@ -26,3 +26,8 @@ timeout 1200 python3 scripts/pool_rate.py --tpu \
   --workdir artifacts/r2 --abstraction artifacts/abstraction_full \
   --sessions 4 > logs/r5_poolrate.log 2>&1
 echo "poolrate rc=$?"
+timeout 1800 python3 scripts/lbr_watch.py --tpu --workdir artifacts/r2 \
+  --abstraction artifacts/abstraction_full --hands 16384 \
+  --min-epoch-gap 200 --idle-exit-s 30 \
+  --out artifacts/r2/lbr_curve_chip.jsonl > logs/r5_lbr_final_chip.log 2>&1
+echo "final chip lbr rc=$?"
